@@ -1,0 +1,279 @@
+"""Regular-grid core types for the TPU-native PTV interpolation framework.
+
+Re-implements the grid/mask conventions of the reference pipeline
+(`/root/reference/interpolator.py:41-60` ``create_grid``,
+`:205-238` ``sample_mask_on_grid``) as a typed, functional, JAX-first module.
+
+Conventions (kept bit-compatible with the reference for parity):
+
+* Fields are stored ``(nz, ny, nx)``.
+* Grid axes use the *inclusive-exclusive voxel convention*:
+  ``x = linspace(xmin, xmax - 1, nx)`` — i.e. voxel 0 sits at ``xmin`` and
+  voxel ``nx-1`` sits at ``xmax - 1`` (reference ``interpolator.py:54-56``).
+* Mask semantics: ``True`` / nonzero = **fluid**, ``False`` / 0 = **solid**
+  (reference ``interpolator.py:31-37``). This module makes the polarity
+  explicit in names (``fluid_mask``) to remove the documented ambiguity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Bounds = Tuple[Tuple[float, float], Tuple[float, float], Tuple[float, float]]
+Resolution = Union[int, Tuple[int, int, int]]
+
+
+def _axis_coords(lo: float, hi: float, n: int) -> np.ndarray:
+    """Reference voxel convention: ``linspace(lo, hi - 1, n)``; degenerate
+    single-voxel axes collapse to ``[lo]`` (reference ``interpolator.py:221-223``)."""
+    if n <= 1:
+        return np.asarray([lo], dtype=np.float64)
+    return np.linspace(lo, hi - 1.0, n)
+
+
+@dataclasses.dataclass(frozen=True)
+class Grid:
+    """An immutable regular 3D grid.
+
+    Attributes
+    ----------
+    bounds : ((xmin, xmax), (ymin, ymax), (zmin, zmax))
+        Physical bounds in the reference's inclusive-exclusive convention.
+    shape : (nz, ny, nx)
+        Field array shape.
+    """
+
+    bounds: Bounds
+    shape: Tuple[int, int, int]  # (nz, ny, nx)
+
+    # ---------------------------------------------------------------- axes
+    @property
+    def nx(self) -> int:
+        return self.shape[2]
+
+    @property
+    def ny(self) -> int:
+        return self.shape[1]
+
+    @property
+    def nz(self) -> int:
+        return self.shape[0]
+
+    @property
+    def x(self) -> np.ndarray:
+        (xmin, xmax), _, _ = self.bounds
+        return _axis_coords(xmin, xmax, self.nx)
+
+    @property
+    def y(self) -> np.ndarray:
+        _, (ymin, ymax), _ = self.bounds
+        return _axis_coords(ymin, ymax, self.ny)
+
+    @property
+    def z(self) -> np.ndarray:
+        _, _, (zmin, zmax) = self.bounds
+        return _axis_coords(zmin, zmax, self.nz)
+
+    @property
+    def spacing(self) -> Tuple[float, float, float]:
+        """(dx, dy, dz); degenerate axes report spacing 1.0 (reference
+        ``main.py:153-155``)."""
+        x, y, z = self.x, self.y, self.z
+        dx = float(x[1] - x[0]) if len(x) > 1 else 1.0
+        dy = float(y[1] - y[0]) if len(y) > 1 else 1.0
+        dz = float(z[1] - z[0]) if len(z) > 1 else 1.0
+        return dx, dy, dz
+
+    @property
+    def n_points(self) -> int:
+        return self.nx * self.ny * self.nz
+
+    # ----------------------------------------------------------- coordinates
+    def meshgrid(self, dtype=jnp.float32):
+        """(X, Y, Z) meshgrids of shape ``(nz, ny, nx)`` — the reference's
+        ``Z, Y, X = np.meshgrid(z, y, x, indexing='ij')`` (``interpolator.py:58-60``)."""
+        z = jnp.asarray(self.z, dtype)
+        y = jnp.asarray(self.y, dtype)
+        x = jnp.asarray(self.x, dtype)
+        Z, Y, X = jnp.meshgrid(z, y, x, indexing="ij")
+        return X, Y, Z
+
+    def flat_coords(self, dtype=jnp.float32) -> jax.Array:
+        """All grid points as an ``(n_points, 3)`` array of (x, y, z) rows,
+        flattened in C order of the (nz, ny, nx) field layout."""
+        X, Y, Z = self.meshgrid(dtype)
+        return jnp.stack([X.ravel(), Y.ravel(), Z.ravel()], axis=-1)
+
+
+def create_grid(bounds: Bounds, resolution: Resolution) -> Grid:
+    """Build a :class:`Grid` from bounds and resolution.
+
+    ``resolution`` is ``(nx, ny, nz)`` or an isotropic int, mirroring the
+    reference ``create_grid`` signature (``interpolator.py:41-60``).
+    """
+    if isinstance(resolution, (int, np.integer)):
+        nx = ny = nz = int(resolution)
+    else:
+        nx, ny, nz = (int(r) for r in resolution)
+    b = tuple((float(lo), float(hi)) for (lo, hi) in bounds)
+    return Grid(bounds=b, shape=(nz, ny, nx))
+
+
+def grid_from_mask_shape(mask_shape: Tuple[int, int, int],
+                         bounds: Bounds | None = None,
+                         downscale: float = 1.0) -> Grid:
+    """Grid covering a raw-mask volume, optionally downscaled
+    (reference ``main.py:104-119``)."""
+    nz, ny, nx = mask_shape
+    if bounds is None:
+        bounds = ((0.0, float(nx)), (0.0, float(ny)), (0.0, float(nz)))
+    resolution = (
+        max(1, int(round(nx / downscale))),
+        max(1, int(round(ny / downscale))),
+        max(1, int(round(nz / downscale))),
+    )
+    return create_grid(bounds, resolution)
+
+
+# --------------------------------------------------------------------------
+# Mask resampling
+# --------------------------------------------------------------------------
+
+def sample_mask_on_grid(mask_raw, grid: Grid, bounds_raw: Bounds | None = None):
+    """Nearest-neighbor resample of a raw boolean mask onto ``grid``.
+
+    TPU-native equivalent of the reference's ``RegularGridInterpolator``
+    nearest resampling (``interpolator.py:205-238``): the target grid
+    coordinates are mapped to fractional raw-voxel indices and rounded;
+    out-of-bounds samples become solid (fill 0).
+
+    Parameters
+    ----------
+    mask_raw : (nz, ny, nx) bool array — True = fluid.
+    grid : target :class:`Grid`.
+    bounds_raw : physical bounds of ``mask_raw`` (defaults to ``grid.bounds``).
+    """
+    mask_raw = jnp.asarray(mask_raw)
+    if bounds_raw is None:
+        bounds_raw = grid.bounds
+    nz, ny, nx = mask_raw.shape
+    (xmin, xmax), (ymin, ymax), (zmin, zmax) = bounds_raw
+
+    def frac_index(coords, lo, hi, n):
+        # Raw voxel i sits at lo + i * step with step = (hi-1-lo)/(n-1).
+        if n <= 1:
+            return jnp.zeros_like(coords)
+        step = (hi - 1.0 - lo) / (n - 1)
+        return (coords - lo) / step
+
+    X, Y, Z = grid.meshgrid(jnp.float32)
+    fi = frac_index(Z, zmin, zmax, nz)
+    fj = frac_index(Y, ymin, ymax, ny)
+    fk = frac_index(X, xmin, xmax, nx)
+
+    # RegularGridInterpolator 'nearest' rounds to the nearest sample point;
+    # exact .5 ties round half-up in scipy's searchsorted formulation.
+    i = jnp.round(fi).astype(jnp.int32)
+    j = jnp.round(fj).astype(jnp.int32)
+    k = jnp.round(fk).astype(jnp.int32)
+
+    in_bounds = (
+        (fi >= -0.0) & (fi <= nz - 1.0)
+        & (fj >= -0.0) & (fj <= ny - 1.0)
+        & (fk >= -0.0) & (fk <= nx - 1.0)
+    )
+    i = jnp.clip(i, 0, nz - 1)
+    j = jnp.clip(j, 0, ny - 1)
+    k = jnp.clip(k, 0, nx - 1)
+    sampled = mask_raw[i, j, k]
+    return jnp.where(in_bounds, sampled, False)
+
+
+# --------------------------------------------------------------------------
+# Morphology (used by boundary particles & pressure recovery)
+# --------------------------------------------------------------------------
+
+def binary_dilation6(mask, iterations: int = 1):
+    """Binary dilation with 6-connectivity (face neighbors), no wraparound.
+
+    Stencil equivalent of ``scipy.ndimage.binary_dilation`` with
+    ``generate_binary_structure(3, 1)`` (reference ``interpolator.py:256-259``)
+    expressed as shift-and-or — XLA fuses this into a single pass.
+    """
+    m = jnp.asarray(mask, bool)
+
+    def one(m):
+        out = m
+        for axis in range(3):
+            padded = jnp.pad(m, [(1, 1) if a == axis else (0, 0) for a in range(3)])
+            n = m.shape[axis]
+            out = out | jax.lax.slice_in_dim(padded, 0, n, axis=axis)
+            out = out | jax.lax.slice_in_dim(padded, 2, n + 2, axis=axis)
+        return out
+
+    for _ in range(int(iterations)):
+        m = one(m)
+    return m
+
+
+def binary_erosion6(mask, iterations: int = 1):
+    """Binary erosion with 6-connectivity; out-of-domain treated as False
+    (scipy's default ``border_value=0``)."""
+    m = jnp.asarray(mask, bool)
+
+    def one(m):
+        out = m
+        for axis in range(3):
+            padded = jnp.pad(m, [(1, 1) if a == axis else (0, 0) for a in range(3)],
+                             constant_values=False)
+            n = m.shape[axis]
+            out = out & jax.lax.slice_in_dim(padded, 0, n, axis=axis)
+            out = out & jax.lax.slice_in_dim(padded, 2, n + 2, axis=axis)
+        return out
+
+    for _ in range(int(iterations)):
+        m = one(m)
+    return m
+
+
+def extract_boundary_particles(fluid_mask, bounds: Bounds, sampling_step: int = 1,
+                               thickness: int = 1):
+    """Zero-velocity virtual particles at the fluid-solid interface.
+
+    Port of reference ``extract_boundary_particles`` (``interpolator.py:240-284``):
+    dilate fluid into solid by ``thickness`` 6-connected layers; interface
+    voxels = dilated fluid ∩ solid; subsample every ``sampling_step``-th voxel;
+    map voxel indices to physical coordinates with the grid convention
+    ``x_phys = xmin + i * (xmax - 1 - xmin) / (nx - 1)``.
+
+    The dilation runs on device; the variable-length index extraction is a
+    host-side finalisation (dynamic shape).
+
+    Returns ``(x_phys, y_phys, z_phys)`` numpy arrays.
+    """
+    if fluid_mask is None:
+        return np.array([]), np.array([]), np.array([])
+    fluid = jnp.asarray(fluid_mask, bool)
+    nz, ny, nx = fluid.shape
+    (xmin, xmax), (ymin, ymax), (zmin, zmax) = bounds
+
+    dilated = binary_dilation6(fluid, iterations=thickness)
+    boundary = np.asarray(dilated & (~fluid))
+
+    Z_idx, Y_idx, X_idx = np.where(boundary)
+    if len(X_idx) == 0:
+        return np.array([]), np.array([]), np.array([])
+    if sampling_step > 1:
+        Z_idx = Z_idx[::sampling_step]
+        Y_idx = Y_idx[::sampling_step]
+        X_idx = X_idx[::sampling_step]
+
+    z_phys = zmin + Z_idx * (zmax - 1 - zmin) / (nz - 1) if nz > 1 else np.full(len(Z_idx), zmin, float)
+    y_phys = ymin + Y_idx * (ymax - 1 - ymin) / (ny - 1) if ny > 1 else np.full(len(Y_idx), ymin, float)
+    x_phys = xmin + X_idx * (xmax - 1 - xmin) / (nx - 1) if nx > 1 else np.full(len(X_idx), xmin, float)
+    return x_phys, y_phys, z_phys

@@ -1,0 +1,188 @@
+"""Grid conventions, mask resampling, morphology, and I/O round-trips —
+parity-checked against scipy/reference semantics."""
+
+import numpy as np
+import pytest
+
+from ptv_interpolation_tpu.grid import (
+    Grid, binary_dilation6, binary_erosion6, create_grid,
+    extract_boundary_particles, sample_mask_on_grid,
+)
+from ptv_interpolation_tpu.io import (
+    PointCloud, load_mask, load_velocity_field, save_field_npz, save_field_tiff,
+)
+from ptv_interpolation_tpu.io.tiff import read_tiff, write_tiff
+from ptv_interpolation_tpu.io.npz import FieldResult
+
+
+def test_create_grid_matches_reference_convention():
+    bounds = ((0, 64), (0, 32), (0, 16))
+    g = create_grid(bounds, (64, 32, 16))
+    # reference: x = linspace(xmin, xmax-1, nx)  (interpolator.py:54-56)
+    np.testing.assert_allclose(g.x, np.linspace(0, 63, 64))
+    np.testing.assert_allclose(g.y, np.linspace(0, 31, 32))
+    np.testing.assert_allclose(g.z, np.linspace(0, 15, 16))
+    assert g.shape == (16, 32, 64)
+    X, Y, Z = g.meshgrid()
+    assert X.shape == (16, 32, 64)
+    # meshgrid (z,y,x) 'ij' layout: X varies along last axis
+    np.testing.assert_allclose(np.asarray(X)[0, 0, :], g.x)
+    np.testing.assert_allclose(np.asarray(Z)[:, 0, 0], g.z)
+    dx, dy, dz = g.spacing
+    assert dx == pytest.approx(1.0) and dz == pytest.approx(1.0)
+
+
+def test_isotropic_resolution():
+    g = create_grid(((0, 10), (0, 10), (0, 10)), 10)
+    assert g.shape == (10, 10, 10)
+
+
+def test_flat_coords_order():
+    g = create_grid(((0, 4), (0, 3), (0, 2)), (4, 3, 2))
+    pts = np.asarray(g.flat_coords())
+    assert pts.shape == (24, 3)
+    # first row is (x0, y0, z0); second advances x (C-order of (nz,ny,nx))
+    np.testing.assert_allclose(pts[0], [0, 0, 0])
+    np.testing.assert_allclose(pts[1], [1, 0, 0])
+    np.testing.assert_allclose(pts[4], [0, 1, 0])
+
+
+def test_sample_mask_on_grid_matches_scipy(rng):
+    from scipy.interpolate import RegularGridInterpolator
+    nz, ny, nx = 13, 17, 11
+    mask_raw = rng.random((nz, ny, nx)) > 0.5
+    bounds = ((2.0, 2.0 + nx), (1.0, 1.0 + ny), (0.0, float(nz)))
+    grid = create_grid(bounds, (23, 9, 19))
+
+    got = np.asarray(sample_mask_on_grid(mask_raw, grid, bounds))
+
+    (xmin, xmax), (ymin, ymax), (zmin, zmax) = bounds
+    z_c = np.linspace(zmin, zmax - 1, nz)
+    y_c = np.linspace(ymin, ymax - 1, ny)
+    x_c = np.linspace(xmin, xmax - 1, nx)
+    interp = RegularGridInterpolator((z_c, y_c, x_c), mask_raw.astype(float),
+                                     method="nearest", bounds_error=False, fill_value=0)
+    X, Y, Z = (np.asarray(a) for a in grid.meshgrid())
+    pts = np.stack([Z.ravel(), Y.ravel(), X.ravel()], axis=-1)
+    want = interp(pts).reshape(X.shape) > 0.5
+    assert (got == want).mean() > 0.999  # allow f32 rounding on exact .5 ties
+
+
+def test_dilation_erosion_match_scipy(rng):
+    import scipy.ndimage
+    m = rng.random((10, 12, 9)) > 0.7
+    struct = scipy.ndimage.generate_binary_structure(3, 1)
+    for it in (1, 2):
+        want = scipy.ndimage.binary_dilation(m, structure=struct, iterations=it)
+        got = np.asarray(binary_dilation6(m, iterations=it))
+        np.testing.assert_array_equal(got, want)
+        want_e = scipy.ndimage.binary_erosion(m, structure=struct, iterations=it)
+        got_e = np.asarray(binary_erosion6(m, iterations=it))
+        np.testing.assert_array_equal(got_e, want_e)
+
+
+def test_extract_boundary_particles_reference_semantics():
+    # solid slab at x<3 in a 8^3 volume, fluid elsewhere
+    nz = ny = nx = 8
+    fluid = np.ones((nz, ny, nx), bool)
+    fluid[:, :, :3] = False
+    bounds = ((0.0, 8.0), (0.0, 8.0), (0.0, 8.0))
+    bx, by, bz = extract_boundary_particles(fluid, bounds, sampling_step=1, thickness=1)
+    # boundary = the x=2 plane of solid voxels adjacent to fluid at x=3
+    assert len(bx) == nz * ny
+    np.testing.assert_allclose(np.unique(bx), [2.0])
+    # thickness=2 adds the x=1 layer
+    bx2, _, _ = extract_boundary_particles(fluid, bounds, thickness=2)
+    np.testing.assert_allclose(np.unique(bx2), [1.0, 2.0])
+    # sampling
+    bx3, _, _ = extract_boundary_particles(fluid, bounds, sampling_step=4)
+    assert len(bx3) == int(np.ceil(nz * ny / 4))
+
+
+def test_tiff_roundtrip(tmp_path):
+    for dtype in (np.uint8, np.uint16, np.float32):
+        arr = (np.arange(3 * 5 * 7).reshape(3, 5, 7) % 200).astype(dtype)
+        p = str(tmp_path / f"vol_{np.dtype(dtype).name}.tif")
+        write_tiff(p, arr)
+        back = read_tiff(p)
+        np.testing.assert_array_equal(back, arr)
+        assert back.dtype == dtype
+
+
+def test_tiff_zcyx_roundtrip(tmp_path):
+    arr = np.random.default_rng(0).normal(size=(4, 3, 6, 5)).astype(np.float32)
+    p = str(tmp_path / "stack.tif")
+    write_tiff(p, arr, imagej=True, axes="ZCYX")
+    back = read_tiff(p)
+    assert back.shape == (4, 3, 6, 5)
+    np.testing.assert_array_equal(back, arr)
+
+
+def test_load_mask_nonzero_is_fluid(tmp_path):
+    vol = np.zeros((4, 4, 4), np.uint8)
+    vol[1, 2, 3] = 255
+    p = str(tmp_path / "mask.tif")
+    write_tiff(p, vol)
+    m = load_mask(p)
+    assert m.dtype == bool and m.sum() == 1 and m[1, 2, 3]
+
+
+def test_npz_contract_roundtrip(tmp_path):
+    rng = np.random.default_rng(3)
+    shape = (4, 5, 6)
+    res = FieldResult(
+        x=np.arange(6.0), y=np.arange(5.0), z=np.arange(4.0),
+        u=rng.normal(size=shape), v=rng.normal(size=shape), w=rng.normal(size=shape),
+        mask=rng.random(shape) > 0.3,
+        u_init=rng.normal(size=shape), v_init=rng.normal(size=shape),
+        w_init=rng.normal(size=shape),
+    )
+    p = str(tmp_path / "field.npz")
+    save_field_npz(p, res)
+    back = load_velocity_field(p)
+    np.testing.assert_array_equal(back.u, res.u)
+    np.testing.assert_array_equal(back.mask, res.mask)
+    assert back.has_dual
+    np.testing.assert_array_equal(back.w_init, res.w_init)
+    # raw npz keys match the reference contract
+    raw = np.load(p)
+    assert set(raw.keys()) == {"x", "y", "z", "u", "v", "w", "mask",
+                               "u_init", "v_init", "w_init"}
+
+
+def test_save_field_tiff(tmp_path):
+    rng = np.random.default_rng(4)
+    u, v, w = (rng.normal(size=(3, 4, 5)).astype(np.float32) for _ in range(3))
+    p = str(tmp_path / "field.tif")
+    save_field_tiff(p, u, v, w)
+    back = read_tiff(p)
+    assert back.shape == (3, 3, 4, 5)
+    np.testing.assert_array_equal(back[:, 0], u)
+    np.testing.assert_array_equal(back[:, 2], w)
+
+
+def test_pointcloud_ops(tmp_path):
+    cloud = PointCloud.from_arrays(
+        np.array([0.0, 1.0, 5.0]), np.array([0.0, 2.0, 5.0]), np.array([0.0, 3.0, 5.0]),
+        np.array([1.0, 2.0, 3.0]), np.array([4.0, 5.0, 6.0]), np.array([7.0, 8.0, 9.0]))
+    off = cloud.offset(1, 2, 3)
+    np.testing.assert_allclose(off.points[0], [1, 2, 3])
+    sw = cloud.swap_xy()
+    np.testing.assert_allclose(sw.x, cloud.y)
+    np.testing.assert_allclose(sw.u, cloud.v)
+    clipped = cloud.clip_to_bounds(((0, 2), (0, 3), (0, 4)))
+    assert len(clipped) == 2
+
+
+def test_csv_loader_aliases(tmp_path):
+    p = str(tmp_path / "pts.csv")
+    with open(p, "w") as f:
+        f.write("x,y,z,vx,vy,vz\n1,2,3,0.1,0.2,0.3\n4,5,6,0.4,0.5,0.6\n")
+    from ptv_interpolation_tpu.io import load_ptv_data
+    cloud = load_ptv_data(p)
+    assert len(cloud) == 2
+    np.testing.assert_allclose(cloud.u, [0.1, 0.4], rtol=1e-6)
+    with open(p, "w") as f:
+        f.write("x,y,z,u\n1,2,3,0.1\n")
+    with pytest.raises(IOError):
+        load_ptv_data(p)
