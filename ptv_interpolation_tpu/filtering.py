@@ -1,0 +1,139 @@
+"""Outlier rejection for scattered PTV vectors.
+
+Port of `/root/reference/filtering.py`:
+* global speed threshold (`filtering.py:60-73`)
+* k-NN median/MAD statistical filter (`filtering.py:5-58`): a point is an
+  outlier when its speed deviates from the local (k-neighbor) median by more
+  than ``threshold`` MAD units (ε = 1e-6 guards uniform regions).
+
+TPU design: the filter *decisions* (a boolean keep mask) are computed
+entirely on device with fixed shapes — the kNN query reuses the same
+neighbor primitive as interpolation, and median/MAD run fused in the tile
+loop. The variable-length compaction (dropping rows) is a host-side
+finalisation, because downstream static shapes must be host-known anyway.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ptv_interpolation_tpu.io.csvio import PointCloud
+from ptv_interpolation_tpu.ops.neighbors import (
+    bruteforce_tile_fn,
+    build_cell_list,
+    celllist_tile_fn,
+    map_query_tiles,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class FilterConfig:
+    """Mirrors the reference CLI flags (`main.py:43-46`)."""
+
+    filter_outliers: bool = False
+    filter_neighbors: int = 25        # --filter-neighbors
+    filter_threshold: float = 3.0     # --filter-threshold (MAD units)
+    filter_max_speed: float = 10.0    # --filter-max-speed
+
+
+@functools.partial(jax.jit, static_argnames=())
+def speed_threshold_mask(values, max_speed):
+    """Keep mask of the global speed filter (`filtering.py:60-73`)."""
+    v = jnp.asarray(values, jnp.float32)
+    speed = jnp.sqrt(jnp.sum(v * v, axis=-1))
+    return speed <= max_speed
+
+
+@functools.partial(jax.jit, static_argnames=("k", "use_celllist", "query_tile"))
+def knn_mad_mask(points, values, k: int = 25, threshold: float = 3.0,
+                 cells=None, use_celllist: bool = False, query_tile: int = 1024):
+    """Keep mask of the k-NN median/MAD filter (`filtering.py:5-58`).
+
+    Queries the k+1 nearest (self included, then dropped — reference
+    `filtering.py:26-30`), computes the neighborhood speed median and MAD,
+    and flags ``|speed - median| / (MAD + 1e-6) > threshold``.
+
+    Returns ``(keep_mask, median_filter_radius)`` where the radius is the
+    median distance to the k-th neighbor (the reference's reported
+    diagnostic, `filtering.py:33-35`).
+    """
+    pts = jnp.asarray(points, jnp.float32)
+    v = jnp.asarray(values, jnp.float32)
+    speed = jnp.sqrt(jnp.sum(v * v, axis=-1))
+
+    neighbor = (celllist_tile_fn(cells, k + 1, rings=1) if use_celllist
+                else bruteforce_tile_fn(pts, k + 1))
+
+    def tile(q_tile):
+        sq, idx = neighbor(q_tile)
+        # drop self (nearest neighbor of a point in its own cloud)
+        n_idx = idx[:, 1:]
+        n_sq = sq[:, 1:]
+        n_speeds = speed[jnp.clip(n_idx, 0, None)]
+        n_speeds = jnp.where(n_idx >= 0, n_speeds, jnp.nan)
+        med = jnp.nanmedian(n_speeds, axis=1)
+        mad = jnp.nanmedian(jnp.abs(n_speeds - med[:, None]), axis=1)
+        kth_dist = jnp.sqrt(jnp.maximum(n_sq[:, -1], 0.0))
+        return med, mad, kth_dist
+
+    med, mad, kth = map_query_tiles(tile, pts, query_tile)
+    z = jnp.abs(speed - med) / (mad + 1e-6)
+    keep = z <= threshold
+    radius = jnp.median(kth)
+    return keep, radius
+
+
+def remove_outliers_threshold(cloud: PointCloud, max_speed: float = 10.0,
+                              verbose: bool = True) -> PointCloud:
+    keep = np.asarray(speed_threshold_mask(cloud.values, max_speed))
+    n_removed = int((~keep).sum())
+    if n_removed > 0:
+        if verbose:
+            print(f"  Threshold Filter: Removed {n_removed} points with speed > {max_speed}.")
+        return cloud.select(keep)
+    return cloud
+
+
+def remove_outliers_knn(cloud: PointCloud, k: int = 25, threshold: float = 3.0,
+                        use_celllist: bool | None = None,
+                        verbose: bool = True) -> PointCloud:
+    n = len(cloud)
+    if n <= k:
+        if verbose:
+            print(f"  Warning: point cloud too small ({n}) for k-NN filter (k={k}). Skipping.")
+        return cloud
+    if use_celllist is None:
+        use_celllist = n > 200_000  # O(N²) beyond this is wasteful
+    cells = build_cell_list(cloud.points, k_hint=k + 1) if use_celllist else None
+    keep, radius = knn_mad_mask(cloud.points, cloud.values, k=k,
+                                threshold=threshold, cells=cells,
+                                use_celllist=use_celllist)
+    keep = np.asarray(keep)
+    if verbose:
+        print(f"  Filtering radius: median voxel distance to {k}-th neighbor = {float(radius):.4f}")
+    n_removed = int((~keep).sum())
+    if n_removed > 0:
+        if verbose:
+            print(f"  Outlier Filter: Removed {n_removed} points ({n_removed / n * 100:.2f}%).")
+        return cloud.select(keep)
+    if verbose:
+        print("  Outlier Filter: No outliers detected.")
+    return cloud
+
+
+def apply_filters(cloud: PointCloud, config: FilterConfig,
+                  verbose: bool = True) -> PointCloud:
+    """Centralized filtering entry point (`filtering.py:75-89`)."""
+    if not config.filter_outliers:
+        return cloud
+    cloud = remove_outliers_threshold(cloud, config.filter_max_speed, verbose)
+    if len(cloud) > 0:
+        cloud = remove_outliers_knn(cloud, k=config.filter_neighbors,
+                                    threshold=config.filter_threshold,
+                                    verbose=verbose)
+    return cloud

@@ -1,0 +1,114 @@
+"""Interpolation dispatcher — the `interpolate_field` entry point.
+
+One call serving the six methods of the reference dispatcher
+(`/root/reference/interpolator.py:65-203`):
+
+  linear   — Delaunay barycentric (host Qhull topology + device eval)
+  nearest  — kNN k=1 on device
+  cubic    — unsupported in 3D (scipy's griddata 'cubic' is 2D-only; the
+             reference would raise from Qhull too). Raises with guidance.
+  rbf      — local kNN RBF (batched small solves); `neighbors=None` escalates
+             to the global dense solve
+  idw      — inverse-distance weighting
+  sibson   — the reference's smoothed-IDW variant
+
+All device paths accept an optional prebuilt CellList so repeated calls
+(e.g. filtering + interpolation) share one spatial index.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ptv_interpolation_tpu.grid import Grid
+from ptv_interpolation_tpu.interpolate.delaunay import linear_interpolate
+from ptv_interpolation_tpu.interpolate.knn_weights import (
+    idw_interpolate,
+    nearest_interpolate,
+    sibson_interpolate,
+)
+from ptv_interpolation_tpu.interpolate.rbf_global import rbf_global_interpolate
+from ptv_interpolation_tpu.interpolate.rbf_local import rbf_local_interpolate
+from ptv_interpolation_tpu.ops.neighbors import CellList, build_cell_list
+
+_CELLLIST_THRESHOLD = 2 ** 31  # Q·N beyond which brute force is wasteful
+
+
+def interpolate_values(points, values, queries, method: str = "linear",
+                       rbf_neighbors: Optional[int] = 20,
+                       rbf_kernel: str = "thin_plate_spline",
+                       smoothing: float = 0.0, epsilon: float = 1.0,
+                       idw_power: float = 2.0, idw_neighbors: int = 50,
+                       sibson_neighbors: int = 30,
+                       cells: CellList | None = None,
+                       neighbor_method: str = "auto",
+                       rings: int = 1, verbose: bool = False):
+    """Interpolate scattered ``values`` (N, C) onto ``queries`` (Q, 3)."""
+    n_pts = int(np.asarray(points).shape[0])
+    n_q = int(np.asarray(queries).shape[0])
+
+    def get_cells(k):
+        nonlocal cells
+        if neighbor_method == "bruteforce":
+            return None
+        if neighbor_method == "auto" and n_pts * n_q <= _CELLLIST_THRESHOLD:
+            return None
+        if cells is None:
+            cells = build_cell_list(np.asarray(points), k_hint=k)
+        return cells
+
+    if method == "sibson":
+        if verbose:
+            print(f"Using Sibson (Natural Neighbor) Interpolation (neighbors={sibson_neighbors})...")
+        k = min(sibson_neighbors, n_pts)
+        return sibson_interpolate(points, values, queries, k=k,
+                                  cells=get_cells(k), rings=rings)
+    if method == "idw":
+        if verbose:
+            print(f"Using IDW Interpolation (power={idw_power}, neighbors={idw_neighbors})...")
+        k = min(idw_neighbors, n_pts)
+        return idw_interpolate(points, values, queries, k=k, power=idw_power,
+                               cells=get_cells(k), rings=rings)
+    if method == "rbf":
+        if rbf_neighbors is None or rbf_neighbors >= n_pts:
+            if verbose:
+                print(f"Using global RBF ({rbf_kernel}), dense solve over {n_pts} points...")
+            return rbf_global_interpolate(points, values, queries,
+                                          kernel=rbf_kernel,
+                                          smoothing=smoothing, epsilon=epsilon)
+        if verbose:
+            print(f"Using RBF Interpolation ({rbf_kernel}) with {rbf_neighbors} "
+                  f"neighbors, smoothing={smoothing}...")
+        k = min(rbf_neighbors, n_pts)
+        return rbf_local_interpolate(points, values, queries, k=k,
+                                     kernel=rbf_kernel, smoothing=smoothing,
+                                     epsilon=epsilon, cells=get_cells(k),
+                                     rings=rings)
+    if method == "nearest":
+        return nearest_interpolate(points, values, queries,
+                                   cells=get_cells(1), rings=rings)
+    if method == "linear":
+        return linear_interpolate(points, values, queries, fill_value=0.0)
+    if method == "cubic":
+        raise ValueError(
+            "method='cubic' is 2D-only in scipy's griddata and unsupported "
+            "in 3D here as well — use 'rbf' (kernel='cubic') for a smooth "
+            "3D interpolant.")
+    raise ValueError(f"unknown interpolation method {method!r}")
+
+
+def interpolate_field(points, values, grid: Grid, method: str = "linear",
+                      **kwargs):
+    """Interpolate onto a :class:`Grid`; returns ``(U, V, W)`` arrays of
+    shape ``grid.shape`` — the reference `interpolate_field` contract
+    (`interpolator.py:65-203`)."""
+    queries = grid.flat_coords()
+    out = interpolate_values(points, values, queries, method=method, **kwargs)
+    out = out.reshape(grid.shape + (out.shape[-1],))
+    U = out[..., 0]
+    V = out[..., 1]
+    W = out[..., 2]
+    return U, V, W

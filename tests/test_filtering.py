@@ -1,0 +1,77 @@
+"""Outlier-filter parity vs the reference numpy/KDTree formulation."""
+
+import numpy as np
+
+from ptv_interpolation_tpu.filtering import (
+    FilterConfig, apply_filters, knn_mad_mask, remove_outliers_knn,
+    remove_outliers_threshold, speed_threshold_mask,
+)
+from ptv_interpolation_tpu.io.csvio import PointCloud
+
+
+def _make_cloud(n=2000, n_outliers=25, seed=5):
+    rng = np.random.default_rng(seed)
+    pts = rng.uniform(0, 10, size=(n, 3))
+    vals = np.stack([
+        0.1 * np.sin(pts[:, 0]), 0.1 * np.cos(pts[:, 1]),
+        np.ones(n)], axis=-1)
+    out_idx = rng.choice(n, n_outliers, replace=False)
+    vals[out_idx] *= 8.0  # gross speed outliers
+    return PointCloud(pts, vals), out_idx
+
+
+def _reference_knn_mask(points, values, k, threshold):
+    from scipy.spatial import KDTree
+    u, v, w = values.T
+    speed = np.sqrt(u ** 2 + v ** 2 + w ** 2)
+    tree = KDTree(points)
+    dist, idx = tree.query(points, k=k + 1)
+    neighbor_speeds = speed[idx[:, 1:]]
+    med = np.median(neighbor_speeds, axis=1)
+    mad = np.median(np.abs(neighbor_speeds - med[:, None]), axis=1)
+    z = np.abs(speed - med) / (mad + 1e-6)
+    return z <= threshold
+
+
+def test_threshold_filter():
+    cloud, out_idx = _make_cloud()
+    keep = np.asarray(speed_threshold_mask(cloud.values, 4.0))
+    assert not keep[out_idx].any()
+    assert keep.sum() == len(cloud) - len(out_idx)
+    filtered = remove_outliers_threshold(cloud, 4.0, verbose=False)
+    assert len(filtered) == keep.sum()
+
+
+def test_knn_mad_parity_with_reference():
+    cloud, out_idx = _make_cloud()
+    keep_got, _ = knn_mad_mask(cloud.points, cloud.values, k=25, threshold=3.0)
+    keep_got = np.asarray(keep_got)
+    keep_ref = _reference_knn_mask(cloud.points.astype(np.float64),
+                                   cloud.values.astype(np.float64), 25, 3.0)
+    # agreement on >99.5% of decisions (f32 median ties at the margin)
+    assert (keep_got == keep_ref).mean() > 0.995
+    # and every planted outlier is removed
+    assert not keep_got[out_idx].any()
+
+
+def test_knn_filter_small_cloud_skips():
+    cloud, _ = _make_cloud(n=10, n_outliers=0)
+    out = remove_outliers_knn(cloud, k=25, verbose=False)
+    assert len(out) == 10
+
+
+def test_apply_filters_pipeline():
+    cloud, out_idx = _make_cloud()
+    cfg = FilterConfig(filter_outliers=True, filter_neighbors=25,
+                       filter_threshold=3.0, filter_max_speed=10.0)
+    filtered = apply_filters(cloud, cfg, verbose=False)
+    assert len(filtered) < len(cloud)
+    cfg_off = FilterConfig(filter_outliers=False)
+    assert len(apply_filters(cloud, cfg_off, verbose=False)) == len(cloud)
+
+
+def test_celllist_filter_matches_bruteforce():
+    cloud, _ = _make_cloud(n=3000)
+    a = remove_outliers_knn(cloud, k=20, use_celllist=False, verbose=False)
+    b = remove_outliers_knn(cloud, k=20, use_celllist=True, verbose=False)
+    assert abs(len(a) - len(b)) <= max(2, int(0.002 * len(cloud)))

@@ -1,0 +1,152 @@
+"""Interpolator parity vs the scipy reference path."""
+
+import numpy as np
+import pytest
+
+from ptv_interpolation_tpu.grid import create_grid
+from ptv_interpolation_tpu.interpolate import (
+    idw_interpolate, interpolate_field, linear_interpolate,
+    nearest_interpolate, rbf_global_interpolate, rbf_local_interpolate,
+    sibson_interpolate,
+)
+
+
+@pytest.fixture(scope="module")
+def scattered():
+    rng = np.random.default_rng(42)
+    pts = rng.uniform(0, 10, size=(2000, 3)).astype(np.float32)
+    # smooth analytic field
+    u = np.sin(pts[:, 0] * 0.5) * np.cos(pts[:, 1] * 0.3)
+    v = pts[:, 2] * 0.1
+    w = np.cos(pts[:, 0] * 0.2 + pts[:, 1] * 0.1)
+    vals = np.stack([u, v, w], axis=-1).astype(np.float32)
+    return pts, vals
+
+
+@pytest.fixture(scope="module")
+def queries():
+    rng = np.random.default_rng(43)
+    return rng.uniform(1, 9, size=(400, 3)).astype(np.float32)
+
+
+def _reference_idw(pts, vals, queries, k, power):
+    from scipy.spatial import KDTree
+    dist, idx = KDTree(pts).query(queries, k=k)
+    w = 1.0 / (dist ** power + 1e-10)
+    w = w / w.sum(axis=1, keepdims=True)
+    return np.einsum("qk,qkc->qc", w, vals[idx])
+
+
+def _reference_sibson(pts, vals, queries, k):
+    from scipy.spatial import KDTree
+    distances, idx = KDTree(pts).query(queries, k=k)
+    eps = 1e-10
+    inv = 1.0 / (distances + eps)
+    w = inv / inv.sum(axis=1, keepdims=True)
+    dist_std = distances.std(axis=1, keepdims=True)
+    w = w * np.exp(-distances / (dist_std + eps))
+    w = w / w.sum(axis=1, keepdims=True)
+    return np.einsum("qk,qkc->qc", w, vals[idx])
+
+
+def test_idw_parity(scattered, queries):
+    pts, vals = scattered
+    got = np.asarray(idw_interpolate(pts, vals, queries, k=50, power=2.0))
+    want = _reference_idw(pts, vals, queries, 50, 2.0)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_sibson_parity(scattered, queries):
+    pts, vals = scattered
+    got = np.asarray(sibson_interpolate(pts, vals, queries, k=30))
+    want = _reference_sibson(pts, vals, queries, 30)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_nearest_parity(scattered, queries):
+    from scipy.interpolate import griddata
+    pts, vals = scattered
+    got = np.asarray(nearest_interpolate(pts, vals, queries))
+    want = griddata(pts.astype(np.float64), vals, queries, method="nearest")
+    assert (np.abs(got - want) < 1e-5).mean() > 0.995  # f32 tie edges
+
+
+def test_linear_parity(scattered, queries):
+    from scipy.interpolate import griddata
+    pts, vals = scattered
+    got = np.asarray(linear_interpolate(pts, vals, queries, fill_value=0.0))
+    want = griddata(pts.astype(np.float64), vals, queries,
+                    method="linear", fill_value=0.0)
+    np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-4)
+
+
+def test_rbf_local_vs_scipy(scattered, queries):
+    from scipy.interpolate import RBFInterpolator
+    pts, vals = scattered
+    got = np.asarray(rbf_local_interpolate(
+        pts, vals, queries, k=20, kernel="thin_plate_spline", smoothing=0.0))
+    interp = RBFInterpolator(pts.astype(np.float64), vals, neighbors=20,
+                             kernel="thin_plate_spline", smoothing=0.0)
+    want = interp(queries.astype(np.float64))
+    # both approximate the same smooth field; local groupings differ slightly
+    err = np.abs(got - want) / (np.abs(want).max() + 1e-9)
+    assert np.median(err) < 2e-3
+    assert np.percentile(err, 99) < 3e-2
+
+
+def test_rbf_local_reproduces_data_points(scattered):
+    pts, vals = scattered
+    got = np.asarray(rbf_local_interpolate(pts[:200], vals[:200], pts[:50],
+                                           k=20, kernel="thin_plate_spline"))
+    np.testing.assert_allclose(got, vals[:50], rtol=5e-3, atol=5e-3)
+
+
+def test_rbf_global_gaussian_cholesky(scattered, queries):
+    from scipy.interpolate import RBFInterpolator
+    pts, vals = scattered
+    pts_s, vals_s = pts[:500], vals[:500]
+    eps = 0.5
+    got = np.asarray(rbf_global_interpolate(
+        pts_s, vals_s, queries, kernel="gaussian", epsilon=eps,
+        smoothing=1e-3, degree=-1))
+    # scipy scales epsilon against raw coords; ours against shifted/scaled.
+    # Compare against a numpy recomputation of the same model instead.
+    shift = pts_s.mean(0)
+    scale = np.abs(pts_s - shift).max()
+    xs = (pts_s - shift) / scale
+    qs = (queries - shift) / scale
+    r = np.linalg.norm(xs[:, None] - xs[None, :], axis=-1)
+    K = np.exp(-(eps * r) ** 2) + 1e-3 * np.eye(len(xs))
+    K += 1e-6 * np.abs(K).max() * np.eye(len(xs))
+    c = np.linalg.solve(K, vals_s)
+    rq = np.linalg.norm(qs[:, None] - xs[None, :], axis=-1)
+    want = np.exp(-(eps * rq) ** 2) @ c
+    np.testing.assert_allclose(got, want, rtol=1e-2, atol=1e-3)
+    # sanity vs scipy on the *field* level (same kernel family)
+    interp = RBFInterpolator(xs, vals_s, kernel="gaussian", epsilon=eps,
+                             smoothing=1e-3, degree=-1)
+    scipy_want = interp(qs)
+    assert np.abs(got - scipy_want).max() < 0.05 * np.abs(scipy_want).max() + 1e-3
+
+
+def test_rbf_global_tps_interpolates(scattered):
+    pts, vals = scattered
+    got = np.asarray(rbf_global_interpolate(pts[:300], vals[:300], pts[:300],
+                                            kernel="thin_plate_spline"))
+    np.testing.assert_allclose(got, vals[:300], rtol=1e-2, atol=2e-3)
+
+
+def test_interpolate_field_grid_contract(scattered):
+    pts, vals = scattered
+    grid = create_grid(((0, 10), (0, 10), (0, 10)), (8, 6, 4))
+    U, V, W = interpolate_field(pts, vals, grid, method="idw", idw_neighbors=10)
+    assert np.asarray(U).shape == (4, 6, 8)
+    assert np.isfinite(np.asarray(U)).all()
+
+
+def test_cubic_raises():
+    with pytest.raises(ValueError, match="cubic"):
+        interpolate_field(np.zeros((4, 3), np.float32),
+                          np.zeros((4, 3), np.float32),
+                          create_grid(((0, 1), (0, 1), (0, 1)), 2),
+                          method="cubic")
