@@ -18,6 +18,7 @@ Conventions (kept bit-compatible with the reference for parity):
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Tuple, Union
 
 import jax
@@ -144,25 +145,20 @@ def grid_from_mask_shape(mask_shape: Tuple[int, int, int],
 # Mask resampling
 # --------------------------------------------------------------------------
 
-def sample_mask_on_grid(mask_raw, grid: Grid, bounds_raw: Bounds | None = None):
-    """Nearest-neighbor resample of a raw boolean mask onto ``grid``.
-
-    TPU-native equivalent of the reference's ``RegularGridInterpolator``
-    nearest resampling (``interpolator.py:205-238``): the target grid
-    coordinates are mapped to fractional raw-voxel indices and rounded;
-    out-of-bounds samples become solid (fill 0).
-
-    Parameters
-    ----------
-    mask_raw : (nz, ny, nx) bool array — True = fluid.
-    grid : target :class:`Grid`.
-    bounds_raw : physical bounds of ``mask_raw`` (defaults to ``grid.bounds``).
-    """
-    mask_raw = jnp.asarray(mask_raw)
-    if bounds_raw is None:
-        bounds_raw = grid.bounds
+@functools.partial(jax.jit, static_argnames=("out_shape",))
+def _sample_mask_impl(mask_raw, bounds_arr, grid_bounds_arr, out_shape):
     nz, ny, nx = mask_raw.shape
-    (xmin, xmax), (ymin, ymax), (zmin, zmax) = bounds_raw
+    onz, ony, onx = out_shape
+
+    def axis_coords(lo, hi, n, dtype=jnp.float32):
+        if n <= 1:
+            return jnp.full((1,), lo, dtype)
+        return lo + (hi - 1.0 - lo) * jnp.arange(n, dtype=dtype) / (n - 1)
+
+    x = axis_coords(grid_bounds_arr[0, 0], grid_bounds_arr[0, 1], onx)
+    y = axis_coords(grid_bounds_arr[1, 0], grid_bounds_arr[1, 1], ony)
+    z = axis_coords(grid_bounds_arr[2, 0], grid_bounds_arr[2, 1], onz)
+    Z, Y, X = jnp.meshgrid(z, y, x, indexing="ij")
 
     def frac_index(coords, lo, hi, n):
         # Raw voxel i sits at lo + i * step with step = (hi-1-lo)/(n-1).
@@ -171,27 +167,42 @@ def sample_mask_on_grid(mask_raw, grid: Grid, bounds_raw: Bounds | None = None):
         step = (hi - 1.0 - lo) / (n - 1)
         return (coords - lo) / step
 
-    X, Y, Z = grid.meshgrid(jnp.float32)
-    fi = frac_index(Z, zmin, zmax, nz)
-    fj = frac_index(Y, ymin, ymax, ny)
-    fk = frac_index(X, xmin, xmax, nx)
+    fi = frac_index(Z, bounds_arr[2, 0], bounds_arr[2, 1], nz)
+    fj = frac_index(Y, bounds_arr[1, 0], bounds_arr[1, 1], ny)
+    fk = frac_index(X, bounds_arr[0, 0], bounds_arr[0, 1], nx)
 
-    # RegularGridInterpolator 'nearest' rounds to the nearest sample point;
-    # exact .5 ties round half-up in scipy's searchsorted formulation.
-    i = jnp.round(fi).astype(jnp.int32)
-    j = jnp.round(fj).astype(jnp.int32)
-    k = jnp.round(fk).astype(jnp.int32)
-
-    in_bounds = (
-        (fi >= -0.0) & (fi <= nz - 1.0)
-        & (fj >= -0.0) & (fj <= ny - 1.0)
-        & (fk >= -0.0) & (fk <= nx - 1.0)
-    )
-    i = jnp.clip(i, 0, nz - 1)
-    j = jnp.clip(j, 0, ny - 1)
-    k = jnp.clip(k, 0, nx - 1)
+    # RegularGridInterpolator 'nearest' rounds to the nearest sample point.
+    i = jnp.clip(jnp.round(fi).astype(jnp.int32), 0, nz - 1)
+    j = jnp.clip(jnp.round(fj).astype(jnp.int32), 0, ny - 1)
+    k = jnp.clip(jnp.round(fk).astype(jnp.int32), 0, nx - 1)
+    in_bounds = ((fi >= 0.0) & (fi <= nz - 1.0)
+                 & (fj >= 0.0) & (fj <= ny - 1.0)
+                 & (fk >= 0.0) & (fk <= nx - 1.0))
     sampled = mask_raw[i, j, k]
     return jnp.where(in_bounds, sampled, False)
+
+
+def sample_mask_on_grid(mask_raw, grid: Grid, bounds_raw: Bounds | None = None):
+    """Nearest-neighbor resample of a raw boolean mask onto ``grid``.
+
+    TPU-native equivalent of the reference's ``RegularGridInterpolator``
+    nearest resampling (``interpolator.py:205-238``): the target grid
+    coordinates are mapped to fractional raw-voxel indices and rounded;
+    out-of-bounds samples become solid (fill 0). Jit-compiled — the whole
+    resample is one fused gather on device.
+
+    Parameters
+    ----------
+    mask_raw : (nz, ny, nx) bool array — True = fluid.
+    grid : target :class:`Grid`.
+    bounds_raw : physical bounds of ``mask_raw`` (defaults to ``grid.bounds``).
+    """
+    mask_raw = jnp.asarray(mask_raw, bool)
+    if bounds_raw is None:
+        bounds_raw = grid.bounds
+    bounds_arr = jnp.asarray(bounds_raw, jnp.float32)       # (3, 2) x/y/z
+    grid_bounds_arr = jnp.asarray(grid.bounds, jnp.float32)
+    return _sample_mask_impl(mask_raw, bounds_arr, grid_bounds_arr, grid.shape)
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,279 @@
+"""Divergence cleaning and Poisson solves — matrix-free, jit-compiled.
+
+Functional rebuild of `/root/reference/physics.py`. The reference's design
+is: assemble sparse operators over fluid cells, solve with scipy LSQR/CG,
+scatter back. Here every operator is a fused full-grid stencil
+(`ops/stencils.py`), every solve is matrix-free preconditioned CG
+(`ops/solvers.py`), and the fluid-cell gather/scatter disappears — masks are
+arrays, shapes are static, and the whole cleaning loop jit-compiles into a
+single XLA program that shards over a device mesh.
+
+Parity notes
+------------
+* The projection path solves ``Lap φ = div`` with the *same* masked
+  Laplacian / divergence / correction coefficients as the reference
+  (verified coefficient-for-coefficient in tests), so cleaned fields match
+  to solver tolerance.
+* The variational path needs ``Dᵀ`` of the FV divergence. The reference
+  hand-assembles ``Dx, Dy, Dz`` (`physics.py:356-438`); here the adjoint is
+  obtained with ``jax.linear_transpose`` of the divergence *function* —
+  exact consistency by construction.
+* Pure-Neumann singular systems: the reference leans on ``b − mean(b)`` +
+  LSQR (`physics.py:183,186`); here CG with explicit zero-mean projection
+  each iteration (same fixed point, faster convergence).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ptv_interpolation_tpu.ops.solvers import pcg
+from ptv_interpolation_tpu.ops.stencils import (
+    consistent_correction,
+    consistent_divergence,
+    force_divergence,
+    laplacian_apply,
+    laplacian_diag,
+)
+
+# re-export reference-named aliases
+compute_consistent_divergence = consistent_divergence
+apply_consistent_correction = consistent_correction
+compute_force_divergence = force_divergence
+
+
+class CleanResult(NamedTuple):
+    u: jax.Array
+    v: jax.Array
+    w: jax.Array
+    mean_abs_div_initial: jax.Array
+    mean_abs_div_final: jax.Array
+    cg_iterations: jax.Array
+
+
+def _mean_abs_div(u, v, w, mask, dx, dy, dz):
+    div = consistent_divergence(u, v, w, mask, dx, dy, dz)
+    n_fluid = jnp.maximum(jnp.sum(mask), 1)
+    return jnp.sum(jnp.abs(div) * mask) / n_fluid
+
+
+def mid_plane_flux(u, dy, dz):
+    """Net X-flux through the middle YZ plane (`physics.py:160-165`)."""
+    nx = u.shape[2]
+    return jnp.sum(u[:, :, nx // 2]) * dy * dz
+
+
+# ---------------------------------------------------------------------------
+# Projection cleaning
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("iterations", "maxiter"))
+def clean_divergence_projection(u, v, w, mask, dx, dy, dz, iterations: int = 3,
+                                tol: float = 1e-8, maxiter: int = 1000
+                                ) -> CleanResult:
+    """Iterative pressure-projection cleaning (`physics.py:149-209`).
+
+    Each iteration: FV divergence → masked-Laplacian Poisson solve
+    (Jacobi-PCG with zero-mean projection over fluid) → staggered-gradient
+    correction. The Laplacian is a fixed stencil, so unlike the reference
+    there is nothing to "build once" — XLA fuses it each iteration.
+    """
+    mask = jnp.asarray(mask, bool)
+    maskf = mask.astype(jnp.float32)
+    u = jnp.asarray(u, jnp.float32) * maskf
+    v = jnp.asarray(v, jnp.float32) * maskf
+    w = jnp.asarray(w, jnp.float32) * maskf
+    n_fluid = jnp.maximum(jnp.sum(maskf), 1.0)
+
+    diag = laplacian_diag(mask, dx, dy, dz)
+    inv_diag = jnp.where(diag < 0, 1.0 / jnp.where(diag < 0, diag, -1.0), 0.0)
+
+    def project(x):
+        return (x - jnp.sum(x * maskf) / n_fluid) * maskf
+
+    def neg_lap(phi):
+        return -laplacian_apply(phi, mask, dx, dy, dz)
+
+    def m_inv(r):
+        return -inv_diag * r
+
+    m_div_init = _mean_abs_div(u, v, w, mask, dx, dy, dz)
+
+    def body(carry, _):
+        u_c, v_c, w_c, total_iters = carry
+        div = consistent_divergence(u_c, v_c, w_c, mask, dx, dy, dz) * maskf
+        b = project(div)
+        # solve Lap φ = b  ⇔  (−Lap) φ = −b (PSD)
+        res = pcg(neg_lap, -b, M_inv=m_inv, project=project,
+                  tol=tol, maxiter=maxiter)
+        phi = res.x
+        u_c, v_c, w_c = consistent_correction(u_c, v_c, w_c, phi, mask,
+                                              dx, dy, dz)
+        return (u_c, v_c, w_c, total_iters + res.iterations), None
+
+    (u_c, v_c, w_c, iters), _ = jax.lax.scan(
+        body, (u, v, w, jnp.int32(0)), None, length=iterations)
+
+    m_div_final = _mean_abs_div(u_c, v_c, w_c, mask, dx, dy, dz)
+    return CleanResult(u_c, v_c, w_c, m_div_init, m_div_final, iters)
+
+
+# ---------------------------------------------------------------------------
+# Variational cleaning
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("maxiter",))
+def clean_divergence_variational(u, v, w, mask, dx, dy, dz,
+                                 lambda_reg: float = 1e3, tol: float = 1e-8,
+                                 maxiter: int = 2000) -> CleanResult:
+    """Variational cleaning (`physics.py:440-514`): minimize
+    ``‖U − U0‖² + λ‖div U‖²`` ⇔ solve ``(I + λ DᵀD) U = U0`` — here as a
+    matrix-free SPD system where ``Dᵀ`` is ``jax.linear_transpose`` of the
+    FV divergence restricted to fluid cells (no 3n×3n ``bmat``)."""
+    mask = jnp.asarray(mask, bool)
+    maskf = mask.astype(jnp.float32)
+    u0 = jnp.asarray(u, jnp.float32) * maskf
+    v0 = jnp.asarray(v, jnp.float32) * maskf
+    w0 = jnp.asarray(w, jnp.float32) * maskf
+
+    def div_op(uvw):
+        # 'operator' variant: matches the reference's assembled Dx/Dy/Dz
+        # (see consistent_divergence docstring on the two conventions)
+        du = consistent_divergence(uvw[0] * maskf, uvw[1] * maskf,
+                                   uvw[2] * maskf, mask, dx, dy, dz,
+                                   variant="operator")
+        return du * maskf
+
+    example = (u0, v0, w0)
+    div_T = jax.linear_transpose(div_op, example)
+
+    def A(uvw):
+        d = div_op(uvw)
+        (dtu,) = div_T(d)
+        return tuple(x * maskf + lambda_reg * y * maskf
+                     for x, y in zip(uvw, dtu))
+
+    m_div_init = _mean_abs_div(u0, v0, w0, mask, dx, dy, dz)
+    res = pcg(A, (u0, v0, w0), tol=tol, maxiter=maxiter)
+    u_n, v_n, w_n = res.x
+    m_div_final = _mean_abs_div(u_n, v_n, w_n, mask, dx, dy, dz)
+    return CleanResult(u_n, v_n, w_n, m_div_init, m_div_final, res.iterations)
+
+
+def clean_divergence(u, v, w, mask, dx, dy, dz, iterations: int = 3,
+                     method: str = "projection", lambda_reg: float = 1e3,
+                     verbose: bool = True):
+    """Dispatcher matching the reference signature (`physics.py:347-354`).
+    Returns ``(u, v, w)``; diagnostics are printed like the reference's
+    cleaning reports when ``verbose``."""
+    if method == "variational":
+        if verbose:
+            print(f"Starting Variational Divergence Cleaning (lambda={lambda_reg})...")
+        res = clean_divergence_variational(u, v, w, mask, dx, dy, dz,
+                                           lambda_reg=lambda_reg)
+        title = "VARIATIONAL CLEANING COMPLETE"
+    else:
+        if verbose:
+            print(f"Starting Iterative Divergence Cleaning ({iterations} iterations)...")
+            print(f"  [Initial] Net X-Flux (mid-plane): "
+                  f"{float(mid_plane_flux(jnp.asarray(u, jnp.float32), dy, dz)):.4e}")
+        res = clean_divergence_projection(u, v, w, mask, dx, dy, dz,
+                                          iterations=iterations)
+        title = "DIVERGENCE CLEANING COMPLETE"
+    if verbose:
+        init = float(res.mean_abs_div_initial)
+        final = float(res.mean_abs_div_final)
+        print("\n" + "=" * 40)
+        print(title)
+        print(f"Initial Mean Abs Div: {init:.6e}")
+        print(f"Final Mean Abs Div:   {final:.6e}")
+        reduction = init / final if final > 0 else float("inf")
+        print(f"Total Reduction:      {reduction:.2f}x")
+        print(f"CG iterations:        {int(res.cg_iterations)}")
+        if method != "variational":
+            print(f"  [Final] Net X-Flux (mid-plane): "
+                  f"{float(mid_plane_flux(res.u, dy, dz)):.4e}")
+        print("=" * 40 + "\n")
+    return res.u, res.v, res.w
+
+
+# ---------------------------------------------------------------------------
+# Poisson solver (pressure recovery)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("wall_bc", "has_dirichlet",
+                                             "maxiter"))
+def _solve_poisson_impl(rhs_field, mask, dx, dy, dz, dirichlet_mask,
+                        dirichlet_values, wall_bc: str, has_dirichlet: bool,
+                        tol: float, maxiter: int):
+    mask = jnp.asarray(mask, bool)
+    maskf = mask.astype(jnp.float32)
+    b = jnp.asarray(rhs_field, jnp.float32) * maskf
+
+    diag = laplacian_diag(mask, dx, dy, dz)
+    inv_diag = jnp.where(diag < 0, 1.0 / jnp.where(diag < 0, diag, -1.0), 0.0)
+
+    if has_dirichlet:
+        d_mask = jnp.asarray(dirichlet_mask, bool) & mask
+        free = mask & (~d_mask)
+        freef = free.astype(jnp.float32)
+        d_field = jnp.where(d_mask, dirichlet_values, 0.0)
+        # b_f -= A_fd x_d   (reference `physics.py:299-307`)
+        b_eff = (b - laplacian_apply(d_field, mask, dx, dy, dz)) * freef
+
+        def neg_lap_free(phi):
+            return -laplacian_apply(phi * freef, mask, dx, dy, dz) * freef
+
+        res = pcg(neg_lap_free, -b_eff, M_inv=lambda r: -inv_diag * r * freef,
+                  tol=tol, maxiter=maxiter)
+        p = res.x * freef + d_field
+    else:
+        n_fluid = jnp.maximum(jnp.sum(maskf), 1.0)
+
+        def project(x):
+            return (x - jnp.sum(x * maskf) / n_fluid) * maskf
+
+        def neg_lap(phi):
+            return -laplacian_apply(phi, mask, dx, dy, dz)
+
+        b_eff = project(b)
+        res = pcg(neg_lap, -b_eff, M_inv=lambda r: -inv_diag * r,
+                  project=project, tol=tol, maxiter=maxiter)
+        p = res.x
+    return p * maskf, res.iterations, res.converged
+
+
+def solve_poisson(source, mask, dx, dy, dz, force_field=None,
+                  wall_bc: str = "inhomogeneous", dirichlet_mask=None,
+                  dirichlet_values=0.0, tol: float = 1e-8,
+                  maxiter: int = 3000):
+    """Solve ``Lap(p) = source`` on the fluid domain (`physics.py:264-345`).
+
+    ``force_field=(fx, fy, fz)`` computes the RHS as a consistent face-flux
+    divergence with ``wall_bc`` boundary treatment. ``dirichlet_mask`` pins
+    nodes to ``dirichlet_values`` (scalar or field); otherwise the singular
+    pure-Neumann system is solved with zero-mean projection.
+    """
+    mask = jnp.asarray(mask, bool)
+    if int(np.asarray(jnp.sum(mask))) == 0:
+        return jnp.zeros(mask.shape, jnp.float32)
+    if force_field is not None:
+        fx, fy, fz = force_field
+        rhs_field = force_divergence(fx, fy, fz, mask, dx, dy, dz,
+                                     wall_bc=wall_bc)
+    else:
+        rhs_field = jnp.asarray(source)
+
+    has_dirichlet = dirichlet_mask is not None
+    d_mask = dirichlet_mask if has_dirichlet else jnp.zeros(mask.shape, bool)
+    d_vals = (jnp.asarray(dirichlet_values, jnp.float32)
+              if not np.isscalar(dirichlet_values)
+              else jnp.float32(dirichlet_values))
+    p, _, _ = _solve_poisson_impl(rhs_field, mask, dx, dy, dz, d_mask, d_vals,
+                                  wall_bc, has_dirichlet, tol, maxiter)
+    return p

@@ -1,0 +1,213 @@
+"""Isosurface triangulation via marching tetrahedra (host-side numpy).
+
+The reference uses ``skimage.measure.marching_cubes``
+(`/root/reference/velocity_analysis.py:543`) to mesh the fluid–solid
+interface for the drag integrator. ``skimage`` is not in this image, so the
+framework ships its own extractor. Marching *tetrahedra* (Kuhn subdivision
+of each cube into 6 tets sharing the main diagonal) is used instead of
+classic marching cubes: it needs no 256-case table, is watertight by
+construction, and the drag integrator consumes only triangle
+centroids/areas/normals — not shared-vertex topology — so the slightly
+higher triangle count is irrelevant.
+
+Surface extraction is output-sized (O(N^{2/3})) and pointer-heavy — it stays
+on the host by design (SURVEY §7 "host-side"); the stress *sampling* over
+the resulting triangles happens on device.
+
+Vertices are returned in voxel-index coordinates (z, y, x), level-0.5
+crossing, matching the skimage call the reference makes. Triangle normals
+are oriented toward increasing field value (into the labeled phase), the
+same convention skimage documents.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# Kuhn subdivision: 6 tetrahedra around the main diagonal (corner 0 → 7).
+# Cube corners are indexed by bits (z << 2 | y << 1 | x).
+_TETS = np.asarray([
+    (0, 1, 3, 7),
+    (0, 1, 5, 7),
+    (0, 2, 3, 7),
+    (0, 2, 6, 7),
+    (0, 4, 5, 7),
+    (0, 4, 6, 7),
+], np.int64)
+
+# tet edge ids: e0=(0,1) e1=(0,2) e2=(0,3) e3=(1,2) e4=(1,3) e5=(2,3)
+_EDGES = np.asarray([(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)], np.int64)
+
+# case (4-bit inside mask) → up to 2 triangles of edge ids (-1 = unused)
+_TRI_TABLE = -np.ones((16, 2, 3), np.int64)
+_TRI_TABLE[1, 0] = (0, 1, 2)      # v0 inside
+_TRI_TABLE[2, 0] = (0, 3, 4)      # v1
+_TRI_TABLE[4, 0] = (1, 3, 5)      # v2
+_TRI_TABLE[8, 0] = (2, 4, 5)      # v3
+_TRI_TABLE[3] = [(1, 3, 4), (1, 4, 2)]       # v0,v1
+_TRI_TABLE[5] = [(0, 2, 5), (0, 5, 3)]       # v0,v2
+_TRI_TABLE[6] = [(0, 1, 5), (0, 5, 4)]       # v1,v2
+_TRI_TABLE[9] = [(0, 1, 5), (0, 5, 4)]       # v0,v3
+_TRI_TABLE[10] = [(0, 3, 5), (0, 5, 2)]      # v1,v3
+_TRI_TABLE[12] = [(1, 3, 4), (1, 4, 2)]      # v2,v3
+_TRI_TABLE[7, 0] = (2, 4, 5)      # all but v3
+_TRI_TABLE[11, 0] = (1, 3, 5)     # all but v2
+_TRI_TABLE[13, 0] = (0, 3, 4)     # all but v1
+_TRI_TABLE[14, 0] = (0, 1, 2)     # all but v0
+
+# cube-corner offsets (dz, dy, dx) per corner id
+_CORNER_OFFSETS = np.asarray(
+    [[(c >> 2) & 1, (c >> 1) & 1, c & 1] for c in range(8)], np.float64)
+
+
+def _box_smooth(vol: np.ndarray, passes: int = 1) -> np.ndarray:
+    """Separable 3-point box filter (edge-clamped). Applied to binary
+    volumes before extraction so edge crossings interpolate sub-voxel:
+    marching a raw 0/1 field puts every crossing at t=0.5, yielding a
+    jagged surface whose area overshoots by ~25%; one smoothing pass
+    brings sphere areas within ~2% of truth."""
+    v = vol
+    for _ in range(passes):
+        for axis in range(3):
+            lo = np.take(v, [0], axis=axis)
+            hi = np.take(v, [-1], axis=axis)
+            ext = np.concatenate([lo, v, hi], axis=axis)
+            n = v.shape[axis]
+            v = (np.take(ext, range(0, n), axis=axis)
+                 + np.take(ext, range(1, n + 1), axis=axis)
+                 + np.take(ext, range(2, n + 2), axis=axis)) / 3.0
+    return v
+
+
+def marching_tetrahedra(volume: np.ndarray, level: float = 0.5,
+                        step_size: int = 1, slab: int = 32,
+                        presmooth: int | None = None) -> np.ndarray:
+    """Extract the ``level`` isosurface of ``volume`` (nz, ny, nx).
+
+    Returns ``tri_verts`` of shape (n_tri, 3, 3): triangle vertices in
+    (z, y, x) voxel-index coordinates, unoriented (see
+    :func:`orient_normals`). ``step_size`` coarsens the cube lattice like
+    skimage's parameter; ``slab`` bounds host memory by processing the
+    volume in z-chunks. ``presmooth`` box-filter passes default to 1 for
+    binary volumes (see :func:`_box_smooth`), 0 otherwise.
+    """
+    vol = np.ascontiguousarray(volume, np.float64)
+    if step_size > 1:
+        vol = vol[::step_size, ::step_size, ::step_size]
+    if presmooth is None:
+        presmooth = 1 if np.unique(vol).size <= 2 else 0
+    if presmooth:
+        vol = _box_smooth(vol, presmooth)
+    nz, ny, nx = vol.shape
+    if min(nz, ny, nx) < 2:
+        return np.zeros((0, 3, 3))
+
+    out = []
+    for z0 in range(0, nz - 1, slab):
+        z1 = min(z0 + slab + 1, nz)
+        sub = vol[z0:z1]
+        tris = _march_block(sub, level)
+        if len(tris):
+            tris[:, :, 0] += z0
+            out.append(tris)
+    if not out:
+        return np.zeros((0, 3, 3))
+    tris = np.concatenate(out)
+    if step_size > 1:
+        tris *= step_size
+    return tris
+
+
+def _march_block(vol: np.ndarray, level: float) -> np.ndarray:
+    nz, ny, nx = vol.shape
+    inside = vol > level
+
+    # active cubes: mixed corners (cheap prefilter, O(volume) bitwise)
+    c = inside[:-1, :-1, :-1]
+    any_in = np.zeros_like(c)
+    all_in = np.ones_like(c)
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                corner = inside[dz:nz - 1 + dz, dy:ny - 1 + dy, dx:nx - 1 + dx]
+                any_in |= corner
+                all_in &= corner
+    active = any_in & (~all_in)
+    zi, yi, xi = np.nonzero(active)
+    if len(zi) == 0:
+        return np.zeros((0, 3, 3))
+    base = np.stack([zi, yi, xi], axis=1).astype(np.float64)   # (M, 3)
+
+    # corner values for active cubes: (8, M)
+    vals = np.empty((8, len(zi)))
+    for cid in range(8):
+        dz, dy, dx = (cid >> 2) & 1, (cid >> 1) & 1, cid & 1
+        vals[cid] = vol[zi + dz, yi + dy, xi + dx]
+
+    tris_out = []
+    for tet in _TETS:
+        tv = vals[tet]                                        # (4, M)
+        bits = (tv > level)
+        case = (bits[0].astype(np.int64) + 2 * bits[1]
+                + 4 * bits[2] + 8 * bits[3])
+        for k in range(2):
+            edge_ids = _TRI_TABLE[case, k]                    # (M, 3)
+            sel = edge_ids[:, 0] >= 0
+            if not sel.any():
+                continue
+            eids = edge_ids[sel]                              # (Ms, 3)
+            msel = np.nonzero(sel)[0]
+            tri = np.empty((len(msel), 3, 3))
+            for vtx in range(3):
+                ea = _EDGES[eids[:, vtx], 0]                  # tet-local ids
+                eb = _EDGES[eids[:, vtx], 1]
+                ca = tet[ea]                                  # cube corner ids
+                cb = tet[eb]
+                va = vals[ca, msel]
+                vb = vals[cb, msel]
+                t = (level - va) / (vb - va)
+                pa = base[msel] + _CORNER_OFFSETS[ca]
+                pb = base[msel] + _CORNER_OFFSETS[cb]
+                tri[:, vtx, :] = pa + t[:, None] * (pb - pa)
+            tris_out.append(tri)
+    if not tris_out:
+        return np.zeros((0, 3, 3))
+    return np.concatenate(tris_out)
+
+
+def triangle_geometry(tri_verts: np.ndarray, spacing=(1.0, 1.0, 1.0)):
+    """Centroids, physical areas, and unit normals of (n, 3, 3) triangles.
+
+    ``spacing`` is (dz, dy, dx); areas/normals are computed in physical
+    space exactly as the reference does (`velocity_analysis.py:550-564`).
+    Normals are unoriented here — see :func:`orient_normals`.
+    """
+    sp = np.asarray(spacing, np.float64)
+    v0, v1, v2 = tri_verts[:, 0], tri_verts[:, 1], tri_verts[:, 2]
+    e1 = (v1 - v0) * sp
+    e2 = (v2 - v0) * sp
+    n_scaled = 0.5 * np.cross(e1, e2)
+    areas = np.linalg.norm(n_scaled, axis=1)
+    normals = n_scaled / np.maximum(areas[:, None], 1e-20)
+    centroids = tri_verts.mean(axis=1)
+    return centroids, areas, normals
+
+
+def orient_normals(normals: np.ndarray, centroids: np.ndarray,
+                   volume: np.ndarray) -> np.ndarray:
+    """Flip normals to point toward increasing ``volume`` (into the labeled
+    phase) — skimage's marching-cubes convention, which the reference's
+    drag math relies on. The field is sampled trilinearly at ±0.5 voxel
+    along each normal; the normal keeps the direction of the larger value
+    (robust on binary step volumes where voxel gradients vanish)."""
+    from scipy.ndimage import map_coordinates as _scipy_map
+
+    vol = np.ascontiguousarray(volume, np.float64)
+    ahead = _scipy_map(vol, (centroids + 0.5 * normals).T, order=1,
+                       mode="nearest")
+    behind = _scipy_map(vol, (centroids - 0.5 * normals).T, order=1,
+                        mode="nearest")
+    flip = ahead < behind
+    out = normals.copy()
+    out[flip] *= -1
+    return out
