@@ -28,7 +28,8 @@ def sphere_pack_centers(R: float = 0.5):
 
 
 def generate(n_points: int = 8000, size: int = 64, seed: int = 0,
-             filename: str | None = None, maskname: str | None = None):
+             filename: str | None = None, maskname: str | None = None,
+             voxel_units: bool = False):
     """Generate the sphere-pack dataset.
 
     Returns
@@ -39,6 +40,10 @@ def generate(n_points: int = 8000, size: int = 64, seed: int = 0,
         `generate_sphere_pack.py:109-114`). Note ``load_mask`` flips this to
         fluid=True via ``--invert-mask`` semantics downstream.
     bounds : ((xmin, xmax), (ymin, ymax), (zmin, zmax)) of the point domain.
+
+    ``voxel_units=True`` rescales the tracer coordinates into the mask's
+    voxel-index space (like real PTV data, which is tracked in scan voxel
+    coordinates), so the CSV + TIFF pair feeds the pipeline directly.
     """
     rng = np.random.default_rng(seed)
     R = 0.5
@@ -63,7 +68,13 @@ def generate(n_points: int = 8000, size: int = 64, seed: int = 0,
     v = np.zeros_like(x)
     w = np.ones_like(x)
     keep = ~inside
-    cloud = PointCloud.from_arrays(x[keep], y[keep], z[keep], u[keep], v[keep], w[keep])
+    xk, yk, zk = x[keep], y[keep], z[keep]
+    if voxel_units:
+        # mask voxel i sits at lo + i*(hi-lo)/(size-1) (np.linspace below)
+        xk = (xk - xmin) / (xmax - xmin) * (size - 1)
+        yk = (yk - ymin) / (ymax - ymin) * (size - 1)
+        zk = (zk - zmin) / (zmax - zmin) * (size - 1)
+    cloud = PointCloud.from_arrays(xk, yk, zk, u[keep], v[keep], w[keep])
 
     gx = np.linspace(xmin, xmax, size)
     gy = np.linspace(ymin, ymax, size)
@@ -72,6 +83,12 @@ def generate(n_points: int = 8000, size: int = 64, seed: int = 0,
     mask_grid = np.zeros(MX.shape, dtype=bool)
     for (cx, cy, cz) in centers:
         mask_grid |= (MX - cx) ** 2 + (MY - cy) ** 2 + (MZ - cz) ** 2 < R ** 2
+    if voxel_units:
+        # the reference generator writes the mask in (x, y, z) index order
+        # (`generate_sphere_pack.py:107-114`) although the pipeline reads
+        # TIFFs as (z, y, x) — a documented quirk. In voxel-units mode emit
+        # the pipeline-consistent orientation so the CSV+TIFF pair aligns.
+        mask_grid = mask_grid.transpose(2, 1, 0)
 
     if filename is not None:
         from ptv_interpolation_tpu.io.csvio import save_ptv_data

@@ -8,15 +8,23 @@ path via ``__graft_entry__.dryrun_multichip``.
 
 import os
 
-# Hard override: the ambient environment pins JAX_PLATFORMS=axon (TPU);
-# tests must run on the virtual CPU mesh.
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+# Hard override: this image's sitecustomize registers the axon TPU plugin
+# and pins jax_platforms via jax.config, which BEATS the env var — the env
+# assignment above alone silently leaves tests on the single tunneled TPU.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+assert len(jax.devices()) >= 8, (
+    f"expected 8 virtual CPU devices, got {jax.devices()}")
 
 
 @pytest.fixture(scope="session")

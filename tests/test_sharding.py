@@ -1,0 +1,82 @@
+"""Multi-chip sharding on the 8-device virtual CPU mesh: parity with
+single-device results + the driver dry-run entry points."""
+
+import jax
+import numpy as np
+import pytest
+
+from ptv_interpolation_tpu.grid import create_grid
+from ptv_interpolation_tpu.interpolate import idw_interpolate, sibson_interpolate
+from ptv_interpolation_tpu.parallel import (
+    make_mesh, make_pipeline_step, shard_fields, sharded_interpolate_values,
+)
+from ptv_interpolation_tpu.physics import (
+    clean_divergence_projection, clean_divergence_variational,
+)
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+@pytest.fixture(scope="module")
+def problem():
+    rng = np.random.default_rng(11)
+    points = rng.uniform(0, 16, size=(800, 3)).astype(np.float32)
+    values = np.stack([np.sin(points[:, 0]), np.cos(points[:, 1]),
+                       np.ones(800)], axis=-1).astype(np.float32)
+    queries = rng.uniform(1, 15, size=(700, 3)).astype(np.float32)
+    return points, values, queries
+
+
+def test_sharded_idw_matches_single_device(problem):
+    points, values, queries = problem
+    mesh = make_mesh(8)
+    got = np.asarray(sharded_interpolate_values(
+        points, values, queries, mesh, method="idw", k=12, query_tile=32))
+    want = np.asarray(idw_interpolate(points, values, queries, k=12))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_sibson_matches_single_device(problem):
+    points, values, queries = problem
+    mesh = make_mesh(8)
+    got = np.asarray(sharded_interpolate_values(
+        points, values, queries, mesh, method="sibson", k=12, query_tile=32))
+    want = np.asarray(sibson_interpolate(points, values, queries, k=12))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_zsharded_cleaning_matches_single_device():
+    rng = np.random.default_rng(12)
+    n = 16
+    mask = np.ones((n, n, n), bool)
+    mask[:, :4, :4] = False
+    u, v, w = (rng.normal(size=(n, n, n)).astype(np.float32) * mask
+               for _ in range(3))
+    mesh = make_mesh(8)
+
+    want = clean_divergence_projection(u, v, w, mask, 1., 1., 1., iterations=2)
+    um, vm, wm, mm = shard_fields(mesh, u, v, w, mask)
+    got = clean_divergence_projection(um, vm, wm, mm, 1., 1., 1., iterations=2)
+    np.testing.assert_allclose(np.asarray(got.u), np.asarray(want.u),
+                               rtol=1e-3, atol=1e-5)
+
+    want_v = clean_divergence_variational(u, v, w, mask, 1., 1., 1.,
+                                          lambda_reg=50.0)
+    got_v = clean_divergence_variational(um, vm, wm, mm, 1., 1., 1.,
+                                         lambda_reg=50.0)
+    np.testing.assert_allclose(np.asarray(got_v.u), np.asarray(want_v.u),
+                               rtol=1e-3, atol=1e-5)
+
+
+def test_pipeline_step_mesh_runs():
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(8)
+
+
+def test_entry_compiles_single_chip():
+    import __graft_entry__ as ge
+    fn, args = ge.entry()
+    out = fn(*args)
+    assert np.asarray(out[0]).shape == (16, 16, 16)
+    assert np.isfinite(float(out[3]))
