@@ -21,6 +21,7 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ptv_interpolation_tpu.ops.neighbors import (
     CellList,
@@ -97,6 +98,86 @@ def sibson_interpolate(points, values, queries, k: int = 30,
     neighbor = _neighbor_fn(points, k, cells, rings, point_chunk)
     tile = _weighted_tile(neighbor, values, _sibson_weights)
     return map_query_tiles(tile, queries, query_tile)
+
+
+# ---------------------------------------------------------------------------
+# Grid fast paths: block-centric evaluation (ops/grid_knn.py)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=32)
+def _idw_consume(power: float):
+    def consume(sq, n_pos, n_val, ok, q):
+        d = jnp.sqrt(jnp.maximum(sq, 0.0))
+        w = _idw_weights(d, power)
+        w = jnp.where(ok, w, 0.0)
+        w = w / jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-37)
+        return jnp.einsum("bk,bkc->bc", w, n_val)
+    return consume
+
+
+@functools.lru_cache(maxsize=1)
+def _sibson_consume():
+    def consume(sq, n_pos, n_val, ok, q):
+        d = jnp.sqrt(jnp.maximum(sq, 0.0))
+        w = _sibson_weights(d)
+        w = jnp.where(ok, w, 0.0)
+        w = w / jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-37)
+        return jnp.einsum("bk,bkc->bc", w, n_val)
+    return consume
+
+
+@functools.lru_cache(maxsize=32)
+def _idw_panel_weights(power: float):
+    def weight_fn(d, mask, sq_topk):
+        return 1.0 / (d ** power + _EPS)
+    return weight_fn
+
+
+@functools.lru_cache(maxsize=1)
+def _sibson_panel_weights():
+    def weight_fn(d, mask, sq_topk):
+        # std / min over the k-set come from the (already selected) top-k
+        # distances; the per-row constant shift keeps exp in range (see
+        # _sibson_weights) and cancels under normalization
+        d_k = jnp.sqrt(jnp.maximum(sq_topk, 0.0))
+        std = jnp.std(d_k, axis=-1, keepdims=True)
+        dmin = d_k[:, :1]
+        inv = 1.0 / (d + _EPS)
+        return inv * jnp.exp(-(d - dmin) / (std + _EPS))
+    return weight_fn
+
+
+def idw_grid_interpolate(points, values, grid, k: int = 50,
+                         power: float = 2.0, exact_topk: bool = False,
+                         **kwargs):
+    """IDW onto a :class:`Grid` via the block-centric τ-threshold kernel —
+    the at-scale path (1M points → 256³ in seconds on one chip).
+    Returns (nz, ny, nx, C). ``exact_topk=True`` routes through the
+    gather-based kernel with exact selection (for parity testing)."""
+    from ptv_interpolation_tpu.ops.grid_knn import (
+        grid_knn_apply, grid_weighted_interpolate)
+    if exact_topk:
+        return grid_knn_apply(points, values, grid, k,
+                              _idw_consume(float(power)),
+                              out_dim=np.shape(values)[1], exact_topk=True,
+                              needs_positions=False, **kwargs)
+    return grid_weighted_interpolate(points, values, grid, k,
+                                     _idw_panel_weights(float(power)),
+                                     **kwargs)
+
+
+def sibson_grid_interpolate(points, values, grid, k: int = 30,
+                            exact_topk: bool = False, **kwargs):
+    """Sibson (smoothed IDW) onto a :class:`Grid`, block-centric
+    τ-threshold kernel."""
+    from ptv_interpolation_tpu.ops.grid_knn import (
+        grid_knn_apply, grid_weighted_interpolate)
+    if exact_topk:
+        return grid_knn_apply(points, values, grid, k, _sibson_consume(),
+                              out_dim=np.shape(values)[1], exact_topk=True,
+                              needs_positions=False, **kwargs)
+    return grid_weighted_interpolate(points, values, grid, k,
+                                     _sibson_panel_weights(), **kwargs)
 
 
 @functools.partial(jax.jit, static_argnames=("rings", "query_tile",

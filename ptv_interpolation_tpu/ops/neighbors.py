@@ -152,29 +152,38 @@ def knn_bruteforce(points: jax.Array, queries: jax.Array, k: int,
 class CellList:
     """Particles bucketed into a uniform voxel grid.
 
-    ``table[c, r]`` is the index of the r-th particle in cell ``c``
-    (sentinel ``n_points`` marks empty slots, pointing at a far-away padded
-    row of ``points_padded``). Cell ``n_cells`` is an always-empty ghost cell
-    used for out-of-range neighborhoods, so clipping never duplicates
-    candidates.
+    Two query layouts are kept:
+
+    * ``table[c, r]`` — the index of the r-th particle in cell ``c``
+      (sentinel ``n_points`` marks empty slots, pointing at a far-away
+      padded row of ``points_padded``). Cell ``n_cells`` is an always-empty
+      ghost cell used for out-of-range neighborhoods, so clipping never
+      duplicates candidates. Used by the generic per-query path.
+    * ``starts`` + ``order`` — CSR-style: particle indices sorted by cell id
+      with per-cell start offsets. Cells that are contiguous in id (an
+      x-run) map to one contiguous range of the sorted arrays, which the
+      grid-block kernel exploits to replace random gathers with dynamic
+      slices and to pad at row granularity instead of cell granularity.
     """
 
     table: jax.Array            # (n_cells + 1, cap) int32
     points_padded: jax.Array    # (n_points + 1, 3) f32, last row = far sentinel
     origin: jax.Array           # (3,) f32
     inv_cell: jax.Array         # (3,) f32 — 1 / cell_size
+    starts: jax.Array           # (n_cells + 1,) int32 CSR offsets
+    order: jax.Array            # (n_points,) int32 cell-sorted particle ids
+    points_sorted: jax.Array    # (n_points + pad, 3) f32, sentinel padded
     dims: Tuple[int, int, int]  # static (ncx, ncy, ncz)
     cap: int                    # static capacity per cell
 
     def tree_flatten(self):
-        return ((self.table, self.points_padded, self.origin, self.inv_cell),
+        return ((self.table, self.points_padded, self.origin, self.inv_cell,
+                 self.starts, self.order, self.points_sorted),
                 (self.dims, self.cap))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        table, points_padded, origin, inv_cell = children
-        dims, cap = aux
-        return cls(table, points_padded, origin, inv_cell, dims, cap)
+        return cls(*children, *aux)
 
     @property
     def n_points(self) -> int:
@@ -235,17 +244,33 @@ def build_cell_list(points, cell_size: float | None = None, k_hint: int = 32,
     table = table.reshape(n_cells + 1, cap)
 
     points_padded = np.concatenate([pts, np.full((1, 3), 1e19, np.float32)])
+
+    # CSR layout for the grid-block kernel: starts[c] = first sorted index
+    # of cell c; points_sorted padded with a far sentinel so fixed-length
+    # dynamic slices past the end stay harmless.
+    counts = np.bincount(cell_id, minlength=n_cells).astype(np.int64)
+    starts = np.zeros(n_cells + 1, np.int32)
+    np.cumsum(counts, out=counts)
+    starts[1:] = counts.astype(np.int32)
+    pad = 1024
+    points_sorted = np.concatenate(
+        [pts[order], np.full((pad, 3), 1e19, np.float32)])
+
     return CellList(
         table=jnp.asarray(table),
         points_padded=jnp.asarray(points_padded),
         origin=jnp.asarray(lo, jnp.float32),
         inv_cell=jnp.asarray(np.full(3, inv, np.float32)),
+        starts=jnp.asarray(starts),
+        order=jnp.asarray(order),
+        points_sorted=jnp.asarray(points_sorted),
         dims=(ncx, ncy, ncz),
         cap=int(cap),
     )
 
 
-def celllist_tile_fn(cells: CellList, k: int, rings: int = 1):
+def celllist_tile_fn(cells: CellList, k: int, rings: int = 1,
+                     exact_topk: bool = False, recall_target: float = 0.99):
     """Per-tile cell-list kNN closure: ``fn(q_tile) -> (sq_dists, idx)``.
 
     Candidate indices are gathered from the ``(2*rings+1)³`` neighborhood of
@@ -279,9 +304,15 @@ def celllist_tile_fn(cells: CellList, k: int, rings: int = 1):
         d2 = jnp.sum((q_tile[:, None, :] - cand_pts) ** 2, axis=-1)
         d2 = jnp.where(cand == cells.n_points, _BIG, d2)
         kk = min(k, n_offsets * cap)
-        neg_top, args = jax.lax.top_k(-d2, kk)
+        if exact_topk:
+            neg_top, args = jax.lax.top_k(-d2, kk)
+            sq = -neg_top
+        else:
+            # TPU-accelerated partial reduce (PartialReduce op) — full-sort
+            # top_k over ~10³ candidates per query is the throughput killer
+            sq, args = jax.lax.approx_min_k(d2, kk,
+                                            recall_target=recall_target)
         idx = jnp.take_along_axis(cand, args, axis=1)
-        sq = -neg_top
         if kk < k:  # fewer candidates than k: pad (mirrors KDTree inf-fill)
             sq = jnp.pad(sq, ((0, 0), (0, k - kk)), constant_values=_BIG)
             idx = jnp.pad(idx, ((0, 0), (0, k - kk)), constant_values=-1)

@@ -186,3 +186,28 @@ def test_csv_loader_aliases(tmp_path):
         f.write("x,y,z,u\n1,2,3,0.1\n")
     with pytest.raises(IOError):
         load_ptv_data(p)
+
+
+def test_native_csv_parser(tmp_path):
+    """The C++ fast parser (if built) must agree with the pandas path."""
+    import pytest as _pytest
+    np_rng = np.random.default_rng(9)
+    arr = np.concatenate([np_rng.uniform(0, 50, (500, 3)),
+                          np_rng.normal(0, 1, (500, 3))], axis=1)
+    p = str(tmp_path / "pts.csv")
+    np.savetxt(p, arr, delimiter=",", header="x,y,z,vx,vy,vz",
+               comments="", fmt="%.7g")
+    try:
+        from ptv_interpolation_tpu.io import fastcsv
+        cloud = fastcsv.load(p)
+    except OSError:
+        _pytest.skip("native/libptvcsv.so not built")
+    np.testing.assert_allclose(cloud.points, arr[:, :3], rtol=1e-5)
+    np.testing.assert_allclose(cloud.values, arr[:, 3:], rtol=1e-5, atol=1e-6)
+    # malformed numeric field → error → csvio falls back to pandas,
+    # which raises the IOError contract
+    with open(p, "w") as f:
+        f.write("x,y,z,u,v,w\n1,2,3,oops,5,6\n")
+    from ptv_interpolation_tpu.io import load_ptv_data
+    with pytest.raises(IOError):
+        load_ptv_data(p)

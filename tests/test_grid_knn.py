@@ -1,0 +1,77 @@
+"""Block-centric grid kNN kernel: parity with the generic tiled path."""
+
+import numpy as np
+import pytest
+
+from ptv_interpolation_tpu.grid import create_grid
+from ptv_interpolation_tpu.interpolate import idw_interpolate, sibson_interpolate
+from ptv_interpolation_tpu.interpolate.knn_weights import (
+    idw_grid_interpolate, sibson_grid_interpolate,
+)
+from ptv_interpolation_tpu.ops.grid_knn import grid_knn_apply
+
+
+@pytest.fixture(scope="module")
+def problem():
+    rng = np.random.default_rng(21)
+    pts = rng.uniform(0, 32, size=(6000, 3)).astype(np.float32)
+    vals = np.stack([np.sin(pts[:, 0] * 0.3), np.cos(pts[:, 1] * 0.2),
+                     np.ones(len(pts))], -1).astype(np.float32)
+    grid = create_grid(((0, 33), (0, 33), (0, 33)), 32)
+    return pts, vals, grid
+
+
+def _assert_almost_all_close(got, want, rtol=1e-3, atol=1e-4, frac=0.9999):
+    """Elementwise closeness for ≥ frac of entries — kNN ties at equal
+    distances may legally resolve differently between formulations."""
+    close = np.isclose(got, want, rtol=rtol, atol=atol)
+    assert close.mean() >= frac, (
+        f"only {close.mean():.6f} close; worst "
+        f"{np.abs(got - want).max():.4g}")
+
+
+def test_idw_grid_matches_tile_path(problem):
+    pts, vals, grid = problem
+    got = np.asarray(idw_grid_interpolate(pts, vals, grid, k=20,
+                                          exact_topk=True)).reshape(-1, 3)
+    want = np.asarray(idw_interpolate(pts, vals, grid.flat_coords(), k=20))
+    _assert_almost_all_close(got, want)
+
+
+def test_sibson_grid_matches_tile_path(problem):
+    pts, vals, grid = problem
+    got = np.asarray(sibson_grid_interpolate(pts, vals, grid, k=20,
+                                             exact_topk=True)).reshape(-1, 3)
+    want = np.asarray(sibson_interpolate(pts, vals, grid.flat_coords(), k=20))
+    _assert_almost_all_close(got, want)
+
+
+def test_grid_knn_nonuniform_spacing_and_odd_shape():
+    rng = np.random.default_rng(22)
+    pts = rng.uniform(0, 20, size=(3000, 3)).astype(np.float32)
+    pts[:, 2] *= 0.5  # anisotropic cloud
+    vals = pts[:, :1].repeat(3, axis=1).astype(np.float32)
+    grid = create_grid(((0, 21), (0, 21), (0, 11)), (19, 13, 7))
+    got = np.asarray(idw_grid_interpolate(pts, vals, grid, k=12,
+                                          exact_topk=True))
+    assert got.shape == (7, 13, 19, 3)
+    want = np.asarray(idw_interpolate(pts, vals, grid.flat_coords(),
+                                      k=12)).reshape(7, 13, 19, 3)
+    _assert_almost_all_close(got, want)
+
+
+def test_grid_knn_custom_consumer(problem):
+    """A consumer that uses neighbor positions (mean neighbor offset)."""
+    import jax.numpy as jnp
+    pts, vals, grid = problem
+
+    def consume(sq, n_pos, n_val, ok, q):
+        okf = ok.astype(jnp.float32)[..., None]
+        mean_pos = jnp.sum(n_pos * okf, axis=1) / jnp.sum(okf, axis=1)
+        return mean_pos - q
+
+    out = np.asarray(grid_knn_apply(pts, vals, grid, 8, consume, 3,
+                                    exact_topk=True))
+    # mean neighbor offset should be small in the cloud interior
+    inner = out[8:-8, 8:-8, 8:-8]
+    assert np.abs(inner).mean() < 1.0
