@@ -100,11 +100,52 @@ def interpolate_values(points, values, queries, method: str = "linear",
     raise ValueError(f"unknown interpolation method {method!r}")
 
 
+_GRID_FASTPATH_MIN_WORK = 2 ** 33  # Q·N above which the block kernel wins
+
+
 def interpolate_field(points, values, grid: Grid, method: str = "linear",
-                      **kwargs):
+                      use_grid_kernel: str = "auto", **kwargs):
     """Interpolate onto a :class:`Grid`; returns ``(U, V, W)`` arrays of
     shape ``grid.shape`` — the reference `interpolate_field` contract
-    (`interpolator.py:65-203`)."""
+    (`interpolator.py:65-203`).
+
+    For the kNN methods on large problems the evaluation routes through
+    the block-centric grid kernel (`ops/grid_knn.py`) — exploiting the
+    regular-grid structure of the queries is where the order-of-magnitude
+    speedup over the scipy path comes from. ``use_grid_kernel``:
+    'auto' (size-based), 'always', or 'never'.
+    """
+    n_pts = int(np.asarray(points).shape[0])
+    work = n_pts * grid.n_points
+    use_fast = (use_grid_kernel == "always"
+                or (use_grid_kernel == "auto"
+                    and work >= _GRID_FASTPATH_MIN_WORK and n_pts >= 4096))
+    if use_fast and method in ("idw", "sibson", "rbf"):
+        from ptv_interpolation_tpu.interpolate.knn_weights import (
+            idw_grid_interpolate, sibson_grid_interpolate)
+        if method == "idw":
+            out = idw_grid_interpolate(
+                points, values, grid, k=min(kwargs.get("idw_neighbors", 50), n_pts),
+                power=kwargs.get("idw_power", 2.0))
+        elif method == "sibson":
+            out = sibson_grid_interpolate(
+                points, values, grid,
+                k=min(kwargs.get("sibson_neighbors", 30), n_pts))
+        else:
+            from ptv_interpolation_tpu.interpolate.rbf_local import (
+                rbf_local_grid_interpolate)
+            rbf_neighbors = kwargs.get("rbf_neighbors", 20)
+            if rbf_neighbors is None or rbf_neighbors >= n_pts:
+                use_fast = False  # global RBF: no grid fast path
+            else:
+                out = rbf_local_grid_interpolate(
+                    points, values, grid, k=min(rbf_neighbors, n_pts),
+                    kernel=kwargs.get("rbf_kernel", "thin_plate_spline"),
+                    smoothing=kwargs.get("smoothing", 0.0),
+                    epsilon=kwargs.get("epsilon", 1.0))
+        if use_fast:
+            return out[..., 0], out[..., 1], out[..., 2]
+
     queries = grid.flat_coords()
     out = interpolate_values(points, values, queries, method=method, **kwargs)
     out = out.reshape(grid.shape + (out.shape[-1],))

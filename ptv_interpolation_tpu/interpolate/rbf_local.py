@@ -41,6 +41,80 @@ from ptv_interpolation_tpu.ops.rbf_kernels import (
 )
 
 
+def _local_rbf_solve_tile(q_tile, sq, xi, fi, valid, k, kernel, smoothing,
+                          epsilon, degree, m, n_ch):
+    """Shared per-neighborhood RBF fit+evaluate used by both the tiled and
+    the grid-block paths: center on query, scale by k-th distance, solve
+    the (k+m)² saddle system batched, evaluate at the query."""
+    scale = jnp.sqrt(jnp.maximum(sq[:, -1], 1e-30))[:, None, None]
+    xl = (xi - q_tile[:, None, :]) / scale                # (T, k, 3)
+
+    r = jnp.sqrt(jnp.maximum(
+        jnp.sum((xl[:, :, None, :] - xl[:, None, :, :]) ** 2, axis=-1),
+        0.0))
+    K = kernel_value(kernel, epsilon * r)                 # (T, k, k)
+    lam = smoothing + 1e-6 * jnp.max(jnp.abs(K), axis=(1, 2), keepdims=True)
+    K = K + lam * jnp.eye(k)
+    vmat = valid[:, :, None] & valid[:, None, :]
+    K = jnp.where(vmat, K, jnp.eye(k))
+
+    P = polynomial_basis(xl, degree)                      # (T, k, m)
+    P = jnp.where(valid[:, :, None], P, 0.0)
+
+    A = jnp.concatenate([
+        jnp.concatenate([K, P], axis=2),
+        jnp.concatenate([jnp.swapaxes(P, 1, 2),
+                         jnp.zeros((q_tile.shape[0], m, m))], axis=2),
+    ], axis=1)                                            # (T, k+m, k+m)
+    rhs = jnp.concatenate([
+        jnp.where(valid[:, :, None], fi, 0.0),
+        jnp.zeros((q_tile.shape[0], m, n_ch)),
+    ], axis=1)                                            # (T, k+m, C)
+
+    sol = jnp.linalg.solve(A, rhs)                        # batched LU
+    c = sol[:, :k, :]
+    d = sol[:, k:, :]
+
+    rq = jnp.sqrt(jnp.maximum(sq, 0.0)) / scale[:, :, 0]
+    Kq = kernel_value(kernel, epsilon * rq)               # (T, k)
+    Kq = jnp.where(valid, Kq, 0.0)
+    out = jnp.einsum("tk,tkc->tc", Kq, c)
+    if m > 0:
+        Pq = polynomial_basis(jnp.zeros_like(q_tile), degree)  # (T, m)
+        out = out + jnp.einsum("tm,tmc->tc", Pq, d)
+    return out
+
+
+@functools.lru_cache(maxsize=32)
+def _rbf_consume(k: int, kernel: str, smoothing: float, epsilon: float,
+                 degree: int, n_ch: int):
+    m = n_poly_terms(degree)
+
+    def consume(sq, n_pos, n_val, ok, q):
+        return _local_rbf_solve_tile(q, sq, n_pos, n_val, ok, k, kernel,
+                                     smoothing, epsilon, degree, m, n_ch)
+    return consume
+
+
+def rbf_local_grid_interpolate(points, values, grid, k: int = 20,
+                               kernel: str = "thin_plate_spline",
+                               smoothing: float = 0.0, epsilon: float = 1.0,
+                               degree: int | None = None, **kwargs):
+    """Local kNN-RBF onto a :class:`Grid` via the block-centric kernel —
+    neighbor selection amortized per block, one batched (k+m)² LU per
+    query tile. The at-scale path for BASELINE config 3."""
+    import numpy as np
+
+    from ptv_interpolation_tpu.ops.grid_knn import grid_knn_apply
+    if degree is None:
+        degree = max(MIN_DEGREE[kernel], 0)
+    n_ch = int(np.shape(values)[1])
+    consume = _rbf_consume(int(k), kernel, float(smoothing), float(epsilon),
+                           int(degree), n_ch)
+    return grid_knn_apply(points, values, grid, k, consume, out_dim=n_ch,
+                          **kwargs)
+
+
 @functools.partial(jax.jit, static_argnames=(
     "k", "kernel", "degree", "rings", "query_tile", "point_chunk"))
 def rbf_local_interpolate(points, values, queries, k: int = 20,
@@ -73,45 +147,7 @@ def rbf_local_interpolate(points, values, queries, k: int = 20,
         xi = points[safe_idx]                             # (T, k, 3)
         fi = values[safe_idx]                             # (T, k, C)
         valid = idx >= 0
-
-        # center on query, scale by k-th neighbor distance
-        scale = jnp.sqrt(jnp.maximum(sq[:, -1], 1e-30))[:, None, None]
-        xl = (xi - q_tile[:, None, :]) / scale            # (T, k, 3)
-
-        r = jnp.sqrt(jnp.maximum(
-            jnp.sum((xl[:, :, None, :] - xl[:, None, :, :]) ** 2, axis=-1),
-            0.0))
-        K = kernel_value(kernel, epsilon * r)             # (T, k, k)
-        lam = smoothing + 1e-6 * jnp.max(jnp.abs(K), axis=(1, 2), keepdims=True)
-        K = K + lam * jnp.eye(k)
-        # mask invalid neighbor rows/cols to identity
-        vmat = valid[:, :, None] & valid[:, None, :]
-        K = jnp.where(vmat, K, jnp.eye(k))
-
-        P = polynomial_basis(xl, degree)                  # (T, k, m)
-        P = jnp.where(valid[:, :, None], P, 0.0)
-
-        A = jnp.concatenate([
-            jnp.concatenate([K, P], axis=2),
-            jnp.concatenate([jnp.swapaxes(P, 1, 2),
-                             jnp.zeros((q_tile.shape[0], m, m))], axis=2),
-        ], axis=1)                                        # (T, k+m, k+m)
-        rhs = jnp.concatenate([
-            jnp.where(valid[:, :, None], fi, 0.0),
-            jnp.zeros((q_tile.shape[0], m, n_ch)),
-        ], axis=1)                                        # (T, k+m, C)
-
-        sol = jnp.linalg.solve(A, rhs)                    # batched LU
-        c = sol[:, :k, :]
-        d = sol[:, k:, :]
-
-        rq = jnp.sqrt(jnp.maximum(sq, 0.0)) / scale[:, :, 0]
-        Kq = kernel_value(kernel, epsilon * rq)           # (T, k)
-        Kq = jnp.where(valid, Kq, 0.0)
-        out = jnp.einsum("tk,tkc->tc", Kq, c)
-        if m > 0:
-            Pq = polynomial_basis(jnp.zeros_like(q_tile), degree)  # (T, m)
-            out = out + jnp.einsum("tm,tmc->tc", Pq, d)
-        return out
+        return _local_rbf_solve_tile(q_tile, sq, xi, fi, valid, k, kernel,
+                                     smoothing, epsilon, degree, m, n_ch)
 
     return map_query_tiles(tile, queries, query_tile)

@@ -75,3 +75,30 @@ def test_grid_knn_custom_consumer(problem):
     # mean neighbor offset should be small in the cloud interior
     inner = out[8:-8, 8:-8, 8:-8]
     assert np.abs(inner).mean() < 1.0
+
+
+def test_rbf_local_grid_matches_tile_path(problem):
+    from ptv_interpolation_tpu.interpolate import rbf_local_interpolate
+    from ptv_interpolation_tpu.interpolate.rbf_local import (
+        rbf_local_grid_interpolate,
+    )
+    pts, vals, grid = problem
+    got = np.asarray(rbf_local_grid_interpolate(
+        pts, vals, grid, k=16, exact_topk=True)).reshape(-1, 3)
+    want = np.asarray(rbf_local_interpolate(pts, vals, grid.flat_coords(),
+                                            k=16))
+    _assert_almost_all_close(got, want, rtol=2e-3, atol=2e-3, frac=0.999)
+
+
+def test_dispatch_routes_grid_fastpath(problem):
+    from ptv_interpolation_tpu.interpolate import interpolate_field
+    pts, vals, grid = problem
+    # force the fast path and compare against the generic path
+    U1, V1, W1 = interpolate_field(pts, vals, grid, method="idw",
+                                   idw_neighbors=16,
+                                   use_grid_kernel="always")
+    U2, V2, W2 = interpolate_field(pts, vals, grid, method="idw",
+                                   idw_neighbors=16,
+                                   use_grid_kernel="never")
+    _assert_almost_all_close(np.asarray(U1).ravel(), np.asarray(U2).ravel(),
+                             rtol=2e-3, atol=1e-4, frac=0.999)
