@@ -1,0 +1,108 @@
+"""Geometric multigrid V-cycle preconditioner for the masked Poisson solves.
+
+The reference leans on scipy LSQR/CG with thousands of iterations
+(`/root/reference/physics.py:186,337`); plain Jacobi-PCG on a 256³ grid
+needs O(10³) iterations (condition number ~ (n/π)²), which at 16.7M cells
+costs a minute on one chip. A geometric V-cycle knocks the iteration count
+down to O(10): masks coarsen by any-child-fluid, operators re-discretize on
+the coarse masks with doubled spacing, smoothing is damped Jacobi (which is
+symmetric, keeping the preconditioner CG-compatible), and transfer operators
+are adjoint (restriction = child-average, prolongation = injection).
+
+Everything is shape-static (levels derived from the static grid shape) and
+jit-friendly — the hierarchy is built inside the traced program, so the same
+code paths shard over a device mesh like the rest of the stencil stack.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ptv_interpolation_tpu.ops.stencils import laplacian_apply, laplacian_diag
+
+
+def _pad_to_even(a, fill=0.0):
+    pads = [(0, s % 2) for s in a.shape]
+    if any(p[1] for p in pads):
+        return jnp.pad(a, pads, constant_values=fill)
+    return a
+
+
+def _coarsen_mask(mask):
+    m = _pad_to_even(mask, False)
+    nz, ny, nx = m.shape
+    m = m.reshape(nz // 2, 2, ny // 2, 2, nx // 2, 2)
+    return jnp.any(m, axis=(1, 3, 5))
+
+
+def _restrict(r, coarse_shape):
+    """Child-average restriction (adjoint of injection up to the 1/8)."""
+    rp = _pad_to_even(r, 0.0)
+    nz, ny, nx = rp.shape
+    rc = rp.reshape(nz // 2, 2, ny // 2, 2, nx // 2, 2).sum(axis=(1, 3, 5))
+    return rc * 0.125
+
+
+def _prolong(e, fine_shape):
+    """Injection: copy each coarse value to its 2³ children."""
+    ef = jnp.repeat(jnp.repeat(jnp.repeat(e, 2, 0), 2, 1), 2, 2)
+    return ef[: fine_shape[0], : fine_shape[1], : fine_shape[2]]
+
+
+def _build_levels(mask, dx, dy, dz, min_size: int):
+    """Static level plan: list of (shape, spacing); mask arrays traced."""
+    masks = [jnp.asarray(mask, bool)]
+    spacings = [(dx, dy, dz)]
+    while min(masks[-1].shape) > min_size:
+        masks.append(_coarsen_mask(masks[-1]))
+        sx, sy, sz = spacings[-1]
+        spacings.append((sx * 2, sy * 2, sz * 2))
+    return masks, spacings
+
+
+def make_mg_preconditioner(mask, dx, dy, dz, n_smooth: int = 2,
+                           omega: float = 0.8, min_size: int = 8,
+                           coarse_iters: int = 20):
+    """Build ``M_inv(r)`` approximating ``(−Lap)⁻¹`` on the fluid cells of
+    ``mask`` — pass as the ``M_inv`` of :func:`ops.solvers.pcg` (which
+    solves the positive-definite ``−Lap``).
+
+    The returned closure is pure and traceable; masks/diagonals are computed
+    once per trace and folded into the compiled program.
+    """
+    masks, spacings = _build_levels(mask, dx, dy, dz, min_size)
+    n_levels = len(masks)
+
+    maskfs = [m.astype(jnp.float32) for m in masks]
+    diags = []
+    for m, (sx, sy, sz) in zip(masks, spacings):
+        d = -laplacian_diag(m, sx, sy, sz)             # positive
+        diags.append(jnp.where(d > 0, d, 1.0))
+
+    def neg_lap(x, lvl):
+        sx, sy, sz = spacings[lvl]
+        return -laplacian_apply(x, masks[lvl], sx, sy, sz)
+
+    def smooth(x, b, lvl, sweeps):
+        for _ in range(sweeps):
+            x = x + omega * (b - neg_lap(x, lvl)) / diags[lvl]
+            x = x * maskfs[lvl]
+        return x
+
+    def v_cycle(b, lvl):
+        if lvl == n_levels - 1:
+            return smooth(jnp.zeros_like(b), b, lvl, coarse_iters)
+        x = smooth(jnp.zeros_like(b), b, lvl, n_smooth)
+        r = (b - neg_lap(x, lvl)) * maskfs[lvl]
+        rc = _restrict(r, masks[lvl + 1].shape) * maskfs[lvl + 1]
+        ec = v_cycle(rc, lvl + 1)
+        x = x + _prolong(ec, masks[lvl].shape) * maskfs[lvl]
+        return smooth(x, b, lvl, n_smooth)
+
+    def m_inv(r):
+        return v_cycle(r * maskfs[0], 0)
+
+    return m_inv

@@ -59,6 +59,8 @@ def pcg(A: Callable, b, x0=None, M_inv: Optional[Callable] = None,
     if project is not None:
         r = project(r)
     z = M_inv(r) if M_inv is not None else r
+    if project is not None and M_inv is not None:
+        z = project(z)   # keep preconditioned directions out of the null space
     p = z
     rz = _dot(r, z)
     b_norm = jnp.sqrt(_dot(b, b))
@@ -80,6 +82,8 @@ def pcg(A: Callable, b, x0=None, M_inv: Optional[Callable] = None,
         if project is not None:
             r = project(r)
         z = M_inv(r) if M_inv is not None else r
+        if project is not None and M_inv is not None:
+            z = project(z)
         rz_new = _dot(r, z)
         beta = rz_new / jnp.maximum(rz, 1e-37)
         p = _axpy(beta, p, z)

@@ -72,16 +72,18 @@ def mid_plane_flux(u, dy, dz):
 # Projection cleaning
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("iterations", "maxiter"))
+@functools.partial(jax.jit, static_argnames=("iterations", "maxiter",
+                                             "precond"))
 def clean_divergence_projection(u, v, w, mask, dx, dy, dz, iterations: int = 3,
-                                tol: float = 1e-8, maxiter: int = 1000
-                                ) -> CleanResult:
+                                tol: float = 1e-8, maxiter: int = 1000,
+                                precond: str = "mg") -> CleanResult:
     """Iterative pressure-projection cleaning (`physics.py:149-209`).
 
     Each iteration: FV divergence → masked-Laplacian Poisson solve
-    (Jacobi-PCG with zero-mean projection over fluid) → staggered-gradient
-    correction. The Laplacian is a fixed stencil, so unlike the reference
-    there is nothing to "build once" — XLA fuses it each iteration.
+    (multigrid- or Jacobi-preconditioned CG with zero-mean projection over
+    fluid) → staggered-gradient correction. The Laplacian is a fixed
+    stencil, so unlike the reference there is nothing to "build once" —
+    XLA fuses it each iteration.
     """
     mask = jnp.asarray(mask, bool)
     maskf = mask.astype(jnp.float32)
@@ -99,8 +101,12 @@ def clean_divergence_projection(u, v, w, mask, dx, dy, dz, iterations: int = 3,
     def neg_lap(phi):
         return -laplacian_apply(phi, mask, dx, dy, dz)
 
-    def m_inv(r):
-        return -inv_diag * r
+    if precond == "mg":
+        from ptv_interpolation_tpu.ops.multigrid import make_mg_preconditioner
+        m_inv = make_mg_preconditioner(mask, dx, dy, dz)
+    else:
+        def m_inv(r):
+            return -inv_diag * r
 
     m_div_init = _mean_abs_div(u, v, w, mask, dx, dy, dz)
 
@@ -207,16 +213,24 @@ def clean_divergence(u, v, w, mask, dx, dy, dz, iterations: int = 3,
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("wall_bc", "has_dirichlet",
-                                             "maxiter"))
+                                             "maxiter", "precond"))
 def _solve_poisson_impl(rhs_field, mask, dx, dy, dz, dirichlet_mask,
                         dirichlet_values, wall_bc: str, has_dirichlet: bool,
-                        tol: float, maxiter: int):
+                        tol: float, maxiter: int, precond: str = "mg"):
     mask = jnp.asarray(mask, bool)
     maskf = mask.astype(jnp.float32)
     b = jnp.asarray(rhs_field, jnp.float32) * maskf
 
     diag = laplacian_diag(mask, dx, dy, dz)
     inv_diag = jnp.where(diag < 0, 1.0 / jnp.where(diag < 0, diag, -1.0), 0.0)
+
+    def make_m_inv(solve_mask):
+        if precond == "mg":
+            from ptv_interpolation_tpu.ops.multigrid import (
+                make_mg_preconditioner)
+            return make_mg_preconditioner(solve_mask, dx, dy, dz)
+        smf = solve_mask.astype(jnp.float32)
+        return lambda r: -inv_diag * r * smf
 
     if has_dirichlet:
         d_mask = jnp.asarray(dirichlet_mask, bool) & mask
@@ -229,7 +243,9 @@ def _solve_poisson_impl(rhs_field, mask, dx, dy, dz, dirichlet_mask,
         def neg_lap_free(phi):
             return -laplacian_apply(phi * freef, mask, dx, dy, dz) * freef
 
-        res = pcg(neg_lap_free, -b_eff, M_inv=lambda r: -inv_diag * r * freef,
+        # NOTE: the MG hierarchy uses the free mask, so Dirichlet cells act
+        # as walls inside the preconditioner — approximate but SPD
+        res = pcg(neg_lap_free, -b_eff, M_inv=make_m_inv(free),
                   tol=tol, maxiter=maxiter)
         p = res.x * freef + d_field
     else:
@@ -242,7 +258,7 @@ def _solve_poisson_impl(rhs_field, mask, dx, dy, dz, dirichlet_mask,
             return -laplacian_apply(phi, mask, dx, dy, dz)
 
         b_eff = project(b)
-        res = pcg(neg_lap, -b_eff, M_inv=lambda r: -inv_diag * r,
+        res = pcg(neg_lap, -b_eff, M_inv=make_m_inv(mask),
                   project=project, tol=tol, maxiter=maxiter)
         p = res.x
     return p * maskf, res.iterations, res.converged
@@ -251,7 +267,7 @@ def _solve_poisson_impl(rhs_field, mask, dx, dy, dz, dirichlet_mask,
 def solve_poisson(source, mask, dx, dy, dz, force_field=None,
                   wall_bc: str = "inhomogeneous", dirichlet_mask=None,
                   dirichlet_values=0.0, tol: float = 1e-8,
-                  maxiter: int = 3000):
+                  maxiter: int = 3000, precond: str = "mg"):
     """Solve ``Lap(p) = source`` on the fluid domain (`physics.py:264-345`).
 
     ``force_field=(fx, fy, fz)`` computes the RHS as a consistent face-flux
@@ -275,5 +291,6 @@ def solve_poisson(source, mask, dx, dy, dz, force_field=None,
               if not np.isscalar(dirichlet_values)
               else jnp.float32(dirichlet_values))
     p, _, _ = _solve_poisson_impl(rhs_field, mask, dx, dy, dz, d_mask, d_vals,
-                                  wall_bc, has_dirichlet, tol, maxiter)
+                                  wall_bc, has_dirichlet, tol, maxiter,
+                                  precond)
     return p
