@@ -1,0 +1,228 @@
+#!/usr/bin/env python
+"""The five BASELINE scenario configs as a benchmark suite.
+
+Each scenario prints one JSON line (stderr carries progress):
+
+1. IDW interpolation of the synthetic sphere-pack field onto 64³
+2. Global Gaussian-RBF with dense Cholesky solve (cylinder-array flow)
+3. Local kNN-RBF with solid masking + normalized-median outlier filtering
+4. Divergence-free interpolation with physics flux corrections
+5. Full porous-glass-style pipeline at 256³ with flux + divergence analysis
+
+Run: ``python benchmarks/scenarios.py [1 2 3 4 5]``
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def emit(name, wall, extra=None):
+    rec = {"scenario": name, "value": round(wall, 3), "unit": "s"}
+    if extra:
+        rec.update(extra)
+    print(json.dumps(rec), flush=True)
+
+
+def _timed(fn, *args, **kwargs):
+    import jax
+    out = fn(*args, **kwargs)         # compile + run
+    jax.block_until_ready(out)
+    t0 = time.time()
+    out = fn(*args, **kwargs)
+    jax.block_until_ready(out)
+    return out, time.time() - t0
+
+
+def porous_problem(n_points=1_000_000, n=256, seed=0):
+    """1M tracks inside a porous (gyroid-like) solid at 256³."""
+    rng = np.random.default_rng(seed)
+    ax = np.arange(n) - n / 2
+    Z, Y, X = np.meshgrid(ax, ax, ax, indexing="ij")
+    solid = (np.sin(X * 0.1) * np.sin(Y * 0.13) * np.sin(Z * 0.07)) > 0.55
+    fluid = ~solid
+    pts = rng.uniform(0, n, size=(int(n_points * 1.2), 3)).astype(np.float32)
+    idx = np.clip(pts.astype(int), 0, n - 1)
+    keep = fluid[idx[:, 2], idx[:, 1], idx[:, 0]]
+    pts = pts[keep][:n_points]
+    vals = np.stack([
+        0.05 * np.sin(pts[:, 0] * 0.05),
+        0.05 * np.cos(pts[:, 1] * 0.04),
+        1.0 + 0.1 * np.sin(pts[:, 2] * 0.03),
+    ], axis=-1).astype(np.float32)
+    return pts, vals, fluid
+
+
+def scenario_1():
+    """Sphere-pack IDW onto 64³ (the minimum end-to-end slice)."""
+    from ptv_interpolation_tpu.datasets import sphere_pack
+    from ptv_interpolation_tpu.grid import create_grid, sample_mask_on_grid
+    from ptv_interpolation_tpu.interpolate import interpolate_field
+
+    cloud, solid, _ = sphere_pack.generate(n_points=8000, size=64,
+                                           voxel_units=True)
+    grid = create_grid(((0, 64), (0, 64), (0, 64)), 64)
+    fluid = ~solid
+
+    def run():
+        U, V, W = interpolate_field(cloud.points, cloud.values, grid,
+                                    method="idw", idw_neighbors=50)
+        m = sample_mask_on_grid(fluid, grid)
+        return U * m, V * m, W * m
+
+    out, wall = _timed(run)
+    w_mean = float(np.asarray(out[2])[np.asarray(out[2]) != 0].mean())
+    emit("1_idw_sphere_pack_64", wall, {"w_mean_fluid": round(w_mean, 4)})
+
+
+def scenario_2():
+    """Global Gaussian-RBF, dense Cholesky (cylinder-array flow)."""
+    from ptv_interpolation_tpu.datasets import cylinders
+    from ptv_interpolation_tpu.grid import create_grid
+    from ptv_interpolation_tpu.interpolate import rbf_global_interpolate
+
+    cloud, _, bounds = cylinders.generate(n_points=5000)
+    grid = create_grid(bounds, (64, 32, 16))
+    queries = grid.flat_coords()
+
+    def run():
+        return rbf_global_interpolate(cloud.points, cloud.values, queries,
+                                      kernel="gaussian", epsilon=2.0,
+                                      smoothing=1e-3, degree=-1)
+
+    out, wall = _timed(run)
+    # accuracy vs the analytic potential-flow field at interior points
+    q = np.asarray(queries)
+    u_true, v_true = cylinders.analytic_velocity(q[:, 0], q[:, 1])
+    interior = ((np.abs(q[:, 0]) > 0.5) & (np.abs(q[:, 0] - 3) > 0.5)
+                & (np.abs(q[:, 1]) < 1.5))
+    err = np.abs(np.asarray(out)[interior, 0] - u_true[interior]).mean()
+    emit("2_global_gaussian_rbf_cholesky", wall,
+         {"n_points": len(cloud), "mean_abs_err_u": round(float(err), 4)})
+
+
+def scenario_3(n_points=500_000, n=128):
+    """Local kNN-RBF + solid masking + MAD filtering at scale."""
+    from ptv_interpolation_tpu.filtering import FilterConfig, apply_filters
+    from ptv_interpolation_tpu.grid import create_grid
+    from ptv_interpolation_tpu.interpolate.rbf_local import (
+        rbf_local_grid_interpolate)
+    from ptv_interpolation_tpu.io.csvio import PointCloud
+
+    pts, vals, fluid = porous_problem(n_points, n)
+    vals_dirty = vals.copy()
+    rng = np.random.default_rng(3)
+    out_idx = rng.choice(len(pts), 1000, replace=False)
+    vals_dirty[out_idx] *= 20.0
+
+    log(f"scenario 3: filtering {len(pts)} points...")
+    t0 = time.time()
+    cloud = apply_filters(PointCloud(pts, vals_dirty),
+                          FilterConfig(filter_outliers=True,
+                                       filter_max_speed=10.0),
+                          verbose=False)
+    t_filter = time.time() - t0
+    grid = create_grid(((0, n + 1), (0, n + 1), (0, n + 1)), n)
+
+    def run():
+        out = rbf_local_grid_interpolate(cloud.points, cloud.values, grid,
+                                         k=20)
+        return out * np.asarray(fluid, np.float32)[..., None]
+
+    out, wall = _timed(run)
+    emit("3_local_rbf_masked_filtered", wall,
+         {"filter_s": round(t_filter, 3), "kept": len(cloud),
+          "removed": len(pts) - len(cloud)})
+
+
+def scenario_4(n_points=500_000, n=128):
+    """Divergence-free interpolation + flux corrections."""
+    from ptv_interpolation_tpu.cli.tools import calculate_flux_xy
+    from ptv_interpolation_tpu.grid import create_grid
+    from ptv_interpolation_tpu.interpolate.knn_weights import (
+        sibson_grid_interpolate)
+    from ptv_interpolation_tpu.physics import clean_divergence_variational
+
+    pts, vals, fluid = porous_problem(n_points, n)
+    grid = create_grid(((0, n + 1), (0, n + 1), (0, n + 1)), n)
+    maskf = fluid.astype(np.float32)
+
+    def run():
+        out = sibson_grid_interpolate(pts, vals, grid, k=50)
+        res = clean_divergence_variational(
+            out[..., 0] * maskf, out[..., 1] * maskf, out[..., 2] * maskf,
+            fluid, *grid.spacing, lambda_reg=200.0, maxiter=300)
+        return res
+
+    res, wall = _timed(run)
+    red = float(res.mean_abs_div_initial / res.mean_abs_div_final)
+    flux = calculate_flux_xy(np.asarray(res.w), 1.0, 1.0)
+    var = float(flux.std() / abs(flux.mean()) * 100)
+    emit("4_divfree_with_flux_correction", wall,
+         {"div_reduction_x": round(red, 2),
+          "flux_variation_pct": round(var, 2)})
+
+
+def scenario_5():
+    """Full porous pipeline at 256³: filter → sibson → mask → variational
+    cleaning → flux + divergence analysis (the production shape)."""
+    from ptv_interpolation_tpu.grid import create_grid
+    from ptv_interpolation_tpu.interpolate.knn_weights import (
+        sibson_grid_interpolate)
+    from ptv_interpolation_tpu.ops.stencils import consistent_divergence
+    from ptv_interpolation_tpu.physics import clean_divergence_variational
+
+    import jax
+
+    n = 256
+    pts, vals, fluid = porous_problem(1_000_000, n)
+    grid = create_grid(((0, n + 1), (0, n + 1), (0, n + 1)), n)
+    maskf = fluid.astype(np.float32)
+
+    log("scenario 5: full pipeline (warmup)...")
+
+    def run():
+        out = sibson_grid_interpolate(pts, vals, grid, k=50)
+        u = out[..., 0] * maskf
+        v = out[..., 1] * maskf
+        w = out[..., 2] * maskf
+        res = clean_divergence_variational(u, v, w, fluid, *grid.spacing,
+                                           lambda_reg=200.0, maxiter=200)
+        div = consistent_divergence(res.u, res.v, res.w, fluid,
+                                    *grid.spacing)
+        q_z = res.w.sum(axis=(1, 2))
+        return res, div, q_z
+
+    (res, div, q_z), wall = _timed(run)
+    red = float(res.mean_abs_div_initial / res.mean_abs_div_final)
+    q = np.asarray(q_z)
+    emit("5_porous_pipeline_256", wall,
+         {"div_reduction_x": round(red, 2),
+          "flux_variation_pct": round(float(q.std() / abs(q.mean()) * 100), 2)})
+
+
+def main():
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          os.path.expanduser("~/.jax_bench_cache"))
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    which = [int(a) for a in sys.argv[1:]] or [1, 2, 3, 4, 5]
+    scenarios = {1: scenario_1, 2: scenario_2, 3: scenario_3,
+                 4: scenario_4, 5: scenario_5}
+    for i in which:
+        log(f"=== scenario {i} ===")
+        scenarios[i]()
+
+
+if __name__ == "__main__":
+    main()

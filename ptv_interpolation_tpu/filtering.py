@@ -25,8 +25,6 @@ import numpy as np
 from ptv_interpolation_tpu.io.csvio import PointCloud
 from ptv_interpolation_tpu.ops.neighbors import (
     bruteforce_tile_fn,
-    build_cell_list,
-    celllist_tile_fn,
     map_query_tiles,
 )
 
@@ -49,10 +47,12 @@ def speed_threshold_mask(values, max_speed):
     return speed <= max_speed
 
 
-@functools.partial(jax.jit, static_argnames=("k", "use_celllist", "query_tile"))
+@functools.partial(jax.jit, static_argnames=("k", "query_tile"))
 def knn_mad_mask(points, values, k: int = 25, threshold: float = 3.0,
-                 cells=None, use_celllist: bool = False, query_tile: int = 1024):
-    """Keep mask of the k-NN median/MAD filter (`filtering.py:5-58`).
+                 query_tile: int = 1024):
+    """Keep mask of the k-NN median/MAD filter (`filtering.py:5-58`),
+    exact brute-force formulation (small clouds / parity tests; the
+    pipeline uses :func:`knn_mad_mask_scatter` at scale).
 
     Queries the k+1 nearest (self included, then dropped — reference
     `filtering.py:26-30`), computes the neighborhood speed median and MAD,
@@ -66,8 +66,7 @@ def knn_mad_mask(points, values, k: int = 25, threshold: float = 3.0,
     v = jnp.asarray(values, jnp.float32)
     speed = jnp.sqrt(jnp.sum(v * v, axis=-1))
 
-    neighbor = (celllist_tile_fn(cells, k + 1, rings=1) if use_celllist
-                else bruteforce_tile_fn(pts, k + 1))
+    neighbor = bruteforce_tile_fn(pts, k + 1)
 
     def tile(q_tile):
         sq, idx = neighbor(q_tile)
@@ -99,6 +98,44 @@ def remove_outliers_threshold(cloud: PointCloud, max_speed: float = 10.0,
     return cloud
 
 
+@functools.lru_cache(maxsize=8)
+def _mad_consume(k: int, threshold: float):
+    """Scatter-block consumer: per-point keep flag + k-th neighbor distance.
+
+    The query set IS the point set, so the nearest candidate (distance 0)
+    is the point itself — dropped like the reference's ``idx[:, 1:]``
+    (`filtering.py:26-30`). Neighbor *speeds* ride in the value channel.
+    """
+    def consume(sq, n_pos, n_val, ok, q):
+        speeds = n_val[:, :, 0]
+        own = speeds[:, 0]
+        neigh = jnp.where(ok[:, 1:], speeds[:, 1:], jnp.nan)
+        med = jnp.nanmedian(neigh, axis=1)
+        mad = jnp.nanmedian(jnp.abs(neigh - med[:, None]), axis=1)
+        z = jnp.abs(own - med) / (mad + 1e-6)
+        keep = (z <= threshold).astype(jnp.float32)
+        kth = jnp.sqrt(jnp.maximum(sq[:, -1], 0.0))
+        return jnp.stack([keep, kth], axis=-1)
+    return consume
+
+
+def knn_mad_mask_scatter(points, values, k: int = 25, threshold: float = 3.0):
+    """At-scale kNN-MAD decisions via the scatter-block kernel
+    (ops/grid_knn.py): O(k) candidates per point instead of the
+    gather-bound generic path."""
+    from ptv_interpolation_tpu.ops.grid_knn import scatter_knn_apply
+
+    pts = np.asarray(points, np.float32)
+    v = np.asarray(values, np.float32)
+    speed = np.sqrt((v * v).sum(axis=-1, keepdims=True))
+    out = scatter_knn_apply(pts, speed, pts, k + 1,
+                            _mad_consume(int(k), float(threshold)),
+                            out_dim=2)
+    keep = out[:, 0] > 0.5
+    radius = float(np.median(out[:, 1]))
+    return keep, radius
+
+
 def remove_outliers_knn(cloud: PointCloud, k: int = 25, threshold: float = 3.0,
                         use_celllist: bool | None = None,
                         verbose: bool = True) -> PointCloud:
@@ -109,10 +146,13 @@ def remove_outliers_knn(cloud: PointCloud, k: int = 25, threshold: float = 3.0,
         return cloud
     if use_celllist is None:
         use_celllist = n > 200_000  # O(N²) beyond this is wasteful
-    cells = build_cell_list(cloud.points, k_hint=k + 1) if use_celllist else None
-    keep, radius = knn_mad_mask(cloud.points, cloud.values, k=k,
-                                threshold=threshold, cells=cells,
-                                use_celllist=use_celllist)
+    if use_celllist:
+        keep, radius = knn_mad_mask_scatter(cloud.points, cloud.values,
+                                            k=k, threshold=threshold)
+    else:
+        keep, radius = knn_mad_mask(cloud.points, cloud.values, k=k,
+                                    threshold=threshold)
+        keep = np.asarray(keep)
     keep = np.asarray(keep)
     if verbose:
         print(f"  Filtering radius: median voxel distance to {k}-th neighbor = {float(radius):.4f}")

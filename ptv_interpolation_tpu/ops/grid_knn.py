@@ -352,3 +352,158 @@ def _sort_values(vals, order):
     sorted_vals = vals[order]
     pad = jnp.zeros((1024, vals.shape[1]), vals.dtype)
     return jnp.concatenate([sorted_vals, pad])
+
+
+# ---------------------------------------------------------------------------
+# Scatter-block variant: arbitrary query points grouped into spatial blocks
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=(
+    "k", "mc", "row_len", "b_cap", "out_dim", "consume_fn", "exact_topk",
+    "recall_target", "group"))
+def _scatter_block_eval(cells: CellList, values_sorted, queries_padded,
+                        q_table, block_origins, margin, k: int,
+                        mc: Tuple[int, int, int], row_len: int, b_cap: int,
+                        out_dim: int, consume_fn: Callable, exact_topk: bool,
+                        recall_target: float, group: int):
+    """Like ``_grid_block_eval`` but queries are arbitrary points pre-grouped
+    into spatial blocks (``q_table``: (n_blocks, b_cap) indices into
+    ``queries_padded``, sentinel = last padded row far away)."""
+    mcz, mcy, mcx = mc
+    ncx, ncy, ncz = cells.dims
+    n_rows = mcz * mcy
+    C = n_rows * row_len
+    V = values_sorted.shape[1]
+    n_blocks = q_table.shape[0]
+
+    roz = jax.lax.broadcasted_iota(jnp.int32, (mcz, mcy), 0).ravel()
+    roy = jax.lax.broadcasted_iota(jnp.int32, (mcz, mcy), 1).ravel()
+
+    def one_block(flat_idx):
+        q_idx = q_table[flat_idx]                         # (b_cap,)
+        q = queries_padded[q_idx]                         # (b_cap, 3)
+        lo = block_origins[flat_idx]                      # (3,) x,y,z
+
+        base = jnp.floor(
+            (lo - margin - cells.origin) * cells.inv_cell).astype(jnp.int32)
+        cz = base[2] + roz
+        cy = base[1] + roy
+        row_ok = (cz >= 0) & (cz < ncz) & (cy >= 0) & (cy < ncy)
+        x0 = jnp.clip(base[0], 0, ncx)
+        x1 = jnp.clip(base[0] + mcx, 0, ncx)
+        rid = (cz * ncy + cy) * ncx
+        start = jnp.where(row_ok, cells.starts[rid + x0], 0)
+        end = jnp.where(row_ok, cells.starts[rid + x1], 0)
+        cnt = end - start
+
+        def slice_row(s):
+            p = jax.lax.dynamic_slice(cells.points_sorted, (s, 0),
+                                      (row_len, 3))
+            v = jax.lax.dynamic_slice(values_sorted, (s, 0), (row_len, V))
+            return p, v
+
+        cand_pts, cand_vals = jax.vmap(slice_row)(start)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (n_rows, row_len), 1)
+        valid_c = (lane < cnt[:, None]).reshape(C)
+        cand_pts = cand_pts.reshape(C, 3)
+        cand_vals = cand_vals.reshape(C, V)
+
+        d2 = jnp.sum((q[:, None, :] - cand_pts[None, :, :]) ** 2, axis=-1)
+        d2 = jnp.where(valid_c[None, :], d2, _BIG)
+
+        kk = min(k, C)
+        if exact_topk:
+            neg, args = jax.lax.top_k(-d2, kk)
+            sq = -neg
+        else:
+            sq, args = jax.lax.approx_min_k(d2, kk,
+                                            recall_target=recall_target)
+        n_val = cand_vals[args]
+        n_ok = valid_c[args] & (sq < _BIG)
+        return consume_fn(sq, None, n_val, n_ok, q)       # (b_cap, out)
+
+    g = group
+    while n_blocks % g:
+        g //= 2
+    ids = jnp.arange(n_blocks, dtype=jnp.int32).reshape(-1, g)
+    out = jax.lax.map(jax.vmap(one_block), ids)
+    return out.reshape(n_blocks * b_cap, out_dim)
+
+
+def scatter_knn_apply(points, values, queries, k: int, consume_fn: Callable,
+                      out_dim: int, cell_size: float | None = None,
+                      margin_factor: float = 1.45, exact_topk: bool = False,
+                      recall_target: float = 0.95, group: int = 8):
+    """Block-centric kNN over *arbitrary* query points: queries are bucketed
+    into margin-sized spatial blocks on the host, each block shares one
+    candidate fetch. This is the at-scale path for point-cloud self-queries
+    (the kNN-MAD outlier filter). Returns (Q, out_dim) in query order."""
+    pts = np.asarray(points, np.float32)
+    vals = np.asarray(values, np.float32)
+    qrs = np.asarray(queries, np.float32)
+    n = pts.shape[0]
+
+    lo = pts.min(axis=0)
+    hi = pts.max(axis=0)
+    extent = np.maximum(hi - lo, 1e-12)
+    density = n / float(np.prod(extent))
+    r_k = (3.0 * k / (4.0 * math.pi * density)) ** (1.0 / 3.0)
+    if cell_size is None:
+        cell_size = max(r_k * margin_factor / 2.0, 1e-6)
+    cells = build_cell_list(pts, cell_size=cell_size)
+    margin = r_k * margin_factor
+
+    # block lattice over the query bbox, edge ≈ 2·margin
+    block_edge = 2.0 * margin
+    q_lo = qrs.min(axis=0)
+    dims = np.maximum(np.ceil((qrs.max(axis=0) - q_lo) / block_edge
+                              ).astype(int), 1)
+    bidx = np.clip(((qrs - q_lo) / block_edge).astype(np.int64), 0, dims - 1)
+    bid = (bidx[:, 2] * dims[1] + bidx[:, 1]) * dims[0] + bidx[:, 0]
+    order = np.argsort(bid, kind="stable")
+    sorted_bid = bid[order]
+    # occupied blocks only
+    uniq, inv_start = np.unique(sorted_bid, return_index=True)
+    counts = np.diff(np.append(inv_start, len(sorted_bid)))
+    b_cap = int(counts.max())
+    n_blocks = len(uniq)
+    q_table = np.full((n_blocks, b_cap), len(qrs), np.int64)
+    rank = np.arange(len(sorted_bid)) - np.repeat(inv_start, counts)
+    q_table[np.repeat(np.arange(n_blocks), counts), rank] = order
+    # physical origin (x, y, z) of each occupied block
+    uz = uniq // (dims[1] * dims[0])
+    uy = (uniq // dims[0]) % dims[1]
+    ux = uniq % dims[0]
+    block_origins = (q_lo[None, :]
+                     + np.stack([ux, uy, uz], axis=-1) * block_edge)
+
+    # static candidate-region dims for a block of edge block_edge + 2·margin
+    mc = tuple(int(math.ceil((block_edge + 2 * margin) / cell_size)) + 1
+               for _ in range(3))
+    ncx, ncy, ncz = cells.dims
+    starts_np = np.asarray(cells.starts)
+    row_counts = np.diff(starts_np).reshape(ncz * ncy, ncx)
+    w = min(mc[2], ncx)
+    csum = np.concatenate([np.zeros((row_counts.shape[0], 1), np.int64),
+                           np.cumsum(row_counts, axis=1)], axis=1)
+    windows = csum[:, w:] - csum[:, :-w] if ncx > w else csum[:, -1:]
+    row_len = max(int(windows.max()) if windows.size else 1, 1)
+    if row_len > 1024:
+        raise ValueError("cell row capacity exceeds sorted-array padding")
+
+    queries_padded = np.concatenate(
+        [qrs, np.full((1, 3), 1e19, np.float32)])
+    values_sorted = _sort_values(jnp.asarray(vals), cells.order)
+
+    out = _scatter_block_eval(
+        cells, values_sorted, jnp.asarray(queries_padded),
+        jnp.asarray(q_table, jnp.int32),
+        jnp.asarray(block_origins, jnp.float32), jnp.float32(margin),
+        k, mc, row_len, b_cap, out_dim, consume_fn, exact_topk,
+        recall_target, group)
+    # unscatter: out rows follow q_table order
+    result = np.empty((len(qrs), out_dim), np.float32)
+    flat_idx = q_table.reshape(-1)
+    valid = flat_idx < len(qrs)
+    result[flat_idx[valid]] = np.asarray(out)[valid]
+    return result

@@ -126,16 +126,36 @@ def prepare_domain(config: PipelineConfig, cloud: PointCloud,
 
 def run_pipeline(config: PipelineConfig,
                  cloud: Optional[PointCloud] = None,
-                 mask_raw: Optional[np.ndarray] = None) -> FieldResult:
+                 mask_raw: Optional[np.ndarray] = None,
+                 timings=None, profile_dir: Optional[str] = None
+                 ) -> FieldResult:
     """Run the full interpolation pipeline. ``cloud``/``mask_raw`` may be
-    passed directly (bench/tests); otherwise they load from config paths."""
+    passed directly (bench/tests); otherwise they load from config paths.
+    Pass a :class:`ptv_interpolation_tpu.utils.StageTimings` to collect
+    per-stage wall-clock; ``profile_dir`` wraps the run in a jax.profiler
+    trace."""
+    from ptv_interpolation_tpu.utils import StageTimings, profiler_trace
+
+    if timings is None:
+        timings = StageTimings()
+    with profiler_trace(profile_dir):
+        result = _run_pipeline_stages(config, cloud, mask_raw, timings)
+    if config.verbose:
+        print(timings.report())
+    return result
+
+
+def _run_pipeline_stages(config: PipelineConfig, cloud, mask_raw,
+                         timings) -> FieldResult:
     v = config.verbose
+    T = timings.stage
 
     # 1. load data (`main.py:56-72`)
     if cloud is None:
         if v:
             print(f"Loading data from {config.input}...")
-        cloud = load_ptv_data(config.input)
+        with T("load_csv"):
+            cloud = load_ptv_data(config.input)
     if config.data_offset:
         ox, oy, oz = config.data_offset
         if v:
@@ -150,10 +170,12 @@ def run_pipeline(config: PipelineConfig,
     if mask_raw is None and config.mask:
         if v:
             print(f"Loading mask from {config.mask}...")
-        mask_raw = np.asarray(load_mask(config.mask))
+        with T("load_mask"):
+            mask_raw = np.asarray(load_mask(config.mask))
         if v:
             print(f"Loaded Mask Shape: {mask_raw.shape}")
-    cloud, mask_raw, bounds, resolution = prepare_domain(config, cloud, mask_raw)
+    with T("prepare_domain"):
+        cloud, mask_raw, bounds, resolution = prepare_domain(config, cloud, mask_raw)
 
     # 3. outlier filtering (`main.py:145-147`)
     if config.filter_outliers:
@@ -163,7 +185,8 @@ def run_pipeline(config: PipelineConfig,
                             filter_neighbors=config.filter_neighbors,
                             filter_threshold=config.filter_threshold,
                             filter_max_speed=config.filter_max_speed)
-        cloud = apply_filters(cloud, fcfg, verbose=v)
+        with T("filter_outliers"):
+            cloud = apply_filters(cloud, fcfg, verbose=v)
 
     # 4. grid + mask resample (`main.py:149-163`)
     if v:
@@ -172,7 +195,8 @@ def run_pipeline(config: PipelineConfig,
     if mask_raw is not None:
         if v:
             print("Sampling mask onto interpolation grid...")
-        mask = np.asarray(sample_mask_on_grid(mask_raw, grid, bounds))
+        with T("sample_mask"):
+            mask = np.asarray(sample_mask_on_grid(mask_raw, grid, bounds))
     else:
         mask = np.zeros(grid.shape, dtype=bool)
 
@@ -181,9 +205,10 @@ def run_pipeline(config: PipelineConfig,
         if v:
             print(f"Extracting virtual boundary particles (sampling step "
                   f"{config.boundary_sampling}, thickness {config.boundary_thickness})...")
-        bx, by, bz = extract_boundary_particles(
-            mask_raw, bounds, sampling_step=config.boundary_sampling,
-            thickness=config.boundary_thickness)
+        with T("boundary_particles"):
+            bx, by, bz = extract_boundary_particles(
+                mask_raw, bounds, sampling_step=config.boundary_sampling,
+                thickness=config.boundary_thickness)
         if len(bx) > 0:
             b_cloud = PointCloud.from_arrays(
                 bx, by, bz, np.zeros_like(bx), np.zeros_like(by),
@@ -197,15 +222,16 @@ def run_pipeline(config: PipelineConfig,
     # 6. interpolate (`main.py:182-199`)
     if v:
         print(f"Interpolating using {config.method} method...")
-    U, V, W = interpolate_field(
-        cloud.points, cloud.values, grid, method=config.method,
-        rbf_neighbors=config.rbf_neighbors, rbf_kernel=config.rbf_kernel,
-        smoothing=config.smoothing, idw_power=config.idw_power,
-        idw_neighbors=config.idw_neighbors,
-        sibson_neighbors=config.sibson_neighbors, verbose=v)
-    U = np.nan_to_num(np.asarray(U))
-    V = np.nan_to_num(np.asarray(V))
-    W = np.nan_to_num(np.asarray(W))
+    with T("interpolate"):
+        U, V, W = interpolate_field(
+            cloud.points, cloud.values, grid, method=config.method,
+            rbf_neighbors=config.rbf_neighbors, rbf_kernel=config.rbf_kernel,
+            smoothing=config.smoothing, idw_power=config.idw_power,
+            idw_neighbors=config.idw_neighbors,
+            sibson_neighbors=config.sibson_neighbors, verbose=v)
+        U = np.nan_to_num(np.asarray(U))
+        V = np.nan_to_num(np.asarray(V))
+        W = np.nan_to_num(np.asarray(W))
 
     # 7. hard zero in solid (`main.py:201-207`)
     if mask_raw is not None:
@@ -224,10 +250,12 @@ def run_pipeline(config: PipelineConfig,
             print(f"Applying divergence cleaning ({config.cleaning_method})...")
         dx, dy, dz = grid.spacing
         clean_mask = mask if mask_raw is not None else np.ones(grid.shape, bool)
-        U, V, W = (np.asarray(a) for a in clean_divergence(
-            U, V, W, clean_mask, dx, dy, dz, iterations=config.iterations,
-            method=config.cleaning_method, lambda_reg=config.cleaning_lambda,
-            verbose=v))
+        with T("clean_divergence"):
+            U, V, W = (np.asarray(a) for a in clean_divergence(
+                U, V, W, clean_mask, dx, dy, dz,
+                iterations=config.iterations,
+                method=config.cleaning_method,
+                lambda_reg=config.cleaning_lambda, verbose=v))
 
     result = FieldResult(
         x=grid.x, y=grid.y, z=grid.z, u=U, v=V, w=W, mask=mask,

@@ -70,8 +70,18 @@ def test_apply_filters_pipeline():
     assert len(apply_filters(cloud, cfg_off, verbose=False)) == len(cloud)
 
 
-def test_celllist_filter_matches_bruteforce():
+def test_scatter_filter_matches_bruteforce():
     cloud, _ = _make_cloud(n=3000)
     a = remove_outliers_knn(cloud, k=20, use_celllist=False, verbose=False)
     b = remove_outliers_knn(cloud, k=20, use_celllist=True, verbose=False)
     assert abs(len(a) - len(b)) <= max(2, int(0.002 * len(cloud)))
+
+
+def test_scatter_mad_mask_parity():
+    from ptv_interpolation_tpu.filtering import knn_mad_mask_scatter
+    cloud, out_idx = _make_cloud(n=4000)
+    keep_s, rad_s = knn_mad_mask_scatter(cloud.points, cloud.values, k=25)
+    keep_ref = _reference_knn_mask(cloud.points.astype(np.float64),
+                                   cloud.values.astype(np.float64), 25, 3.0)
+    assert (keep_s == keep_ref).mean() > 0.995
+    assert not keep_s[out_idx].any()
