@@ -247,9 +247,21 @@ def grid_weighted_interpolate(points, values, grid: Grid, k: int,
                               cell_size: float | None = None,
                               block: Tuple[int, int, int] = (8, 8, 8),
                               margin_factor: float = 1.45,
-                              recall_target: float = 0.9, group: int = 8):
+                              recall_target: float = 0.9, group: int = 8,
+                              backend: str = "xla", mode: str = "sibson"):
     """Driver for the weighted-sum fast path (shares host setup with
-    :func:`grid_knn_apply`)."""
+    :func:`grid_knn_apply`).
+
+    ``backend='pallas'`` routes IDW/sibson through the experimental fused
+    Pallas kernel (see ``ops/pallas_grid_knn.py`` for its measured
+    trade-offs); 'xla' (default) is the production path."""
+    if backend == "pallas":
+        from ptv_interpolation_tpu.ops.pallas_grid_knn import (
+            pallas_grid_weighted_interpolate)
+        import jax.numpy as _jnp
+        return _jnp.asarray(pallas_grid_weighted_interpolate(
+            points, values, grid, k, mode=mode,
+            margin_factor=margin_factor))
     setup = _host_setup(points, values, grid, k, cells, cell_size, block,
                         margin_factor)
     (cells, values_sorted, axes, margin, mc, row_len) = setup

@@ -102,3 +102,17 @@ def test_dispatch_routes_grid_fastpath(problem):
                                    use_grid_kernel="never")
     _assert_almost_all_close(np.asarray(U1).ravel(), np.asarray(U2).ravel(),
                              rtol=2e-3, atol=1e-4, frac=0.999)
+
+
+def test_pallas_kernel_interpret_parity(problem):
+    """The experimental Pallas backend (interpret mode on CPU) must match
+    the reference tile path."""
+    from ptv_interpolation_tpu.ops.pallas_grid_knn import (
+        pallas_grid_weighted_interpolate,
+    )
+    pts, vals, grid = problem
+    got = pallas_grid_weighted_interpolate(
+        pts, vals, grid, k=20, mode="sibson", interpret=True,
+        bisect_iters=18).reshape(-1, 3)
+    want = np.asarray(sibson_interpolate(pts, vals, grid.flat_coords(), k=20))
+    _assert_almost_all_close(got, want, rtol=2e-3, atol=2e-4, frac=0.998)
