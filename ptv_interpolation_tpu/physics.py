@@ -54,6 +54,7 @@ class CleanResult(NamedTuple):
     mean_abs_div_initial: jax.Array
     mean_abs_div_final: jax.Array
     cg_iterations: jax.Array
+    converged: jax.Array
 
 
 def _mean_abs_div(u, v, w, mask, dx, dy, dz):
@@ -111,7 +112,7 @@ def clean_divergence_projection(u, v, w, mask, dx, dy, dz, iterations: int = 3,
     m_div_init = _mean_abs_div(u, v, w, mask, dx, dy, dz)
 
     def body(carry, _):
-        u_c, v_c, w_c, total_iters = carry
+        u_c, v_c, w_c, total_iters, _conv = carry
         div = consistent_divergence(u_c, v_c, w_c, mask, dx, dy, dz) * maskf
         b = project(div)
         # solve Lap φ = b  ⇔  (−Lap) φ = −b (PSD)
@@ -120,13 +121,15 @@ def clean_divergence_projection(u, v, w, mask, dx, dy, dz, iterations: int = 3,
         phi = res.x
         u_c, v_c, w_c = consistent_correction(u_c, v_c, w_c, phi, mask,
                                               dx, dy, dz)
-        return (u_c, v_c, w_c, total_iters + res.iterations), None
+        return (u_c, v_c, w_c, total_iters + res.iterations,
+                res.converged), None
 
-    (u_c, v_c, w_c, iters), _ = jax.lax.scan(
-        body, (u, v, w, jnp.int32(0)), None, length=iterations)
+    (u_c, v_c, w_c, iters, conv), _ = jax.lax.scan(
+        body, (u, v, w, jnp.int32(0), jnp.bool_(True)), None,
+        length=iterations)
 
     m_div_final = _mean_abs_div(u_c, v_c, w_c, mask, dx, dy, dz)
-    return CleanResult(u_c, v_c, w_c, m_div_init, m_div_final, iters)
+    return CleanResult(u_c, v_c, w_c, m_div_init, m_div_final, iters, conv)
 
 
 # ---------------------------------------------------------------------------
@@ -166,9 +169,15 @@ def clean_divergence_variational(u, v, w, mask, dx, dy, dz,
 
     m_div_init = _mean_abs_div(u0, v0, w0, mask, dx, dy, dz)
     res = pcg(A, (u0, v0, w0), tol=tol, maxiter=maxiter)
-    u_n, v_n, w_n = res.x
+    # reference behavior: non-convergence only warns and uses the partial
+    # solution; a *broken* solve (NaNs) falls back to the input unchanged
+    # (`physics.py:486-491`)
+    bad = jnp.any(jnp.stack([jnp.any(jnp.isnan(x)) for x in res.x]))
+    u_n, v_n, w_n = jax.tree_util.tree_map(
+        lambda new, old: jnp.where(bad, old, new), res.x, (u0, v0, w0))
     m_div_final = _mean_abs_div(u_n, v_n, w_n, mask, dx, dy, dz)
-    return CleanResult(u_n, v_n, w_n, m_div_init, m_div_final, res.iterations)
+    return CleanResult(u_n, v_n, w_n, m_div_init, m_div_final,
+                       res.iterations, res.converged & (~bad))
 
 
 def clean_divergence(u, v, w, mask, dx, dy, dz, iterations: int = 3,
@@ -201,6 +210,9 @@ def clean_divergence(u, v, w, mask, dx, dy, dz, iterations: int = 3,
         reduction = init / final if final > 0 else float("inf")
         print(f"Total Reduction:      {reduction:.2f}x")
         print(f"CG iterations:        {int(res.cg_iterations)}")
+        if not bool(res.converged):
+            print("  Warning: CG did not converge to tolerance "
+                  "(variational falls back to the input field).")
         if method != "variational":
             print(f"  [Final] Net X-Flux (mid-plane): "
                   f"{float(mid_plane_flux(res.u, dy, dz)):.4e}")

@@ -211,3 +211,25 @@ def test_native_csv_parser(tmp_path):
     from ptv_interpolation_tpu.io import load_ptv_data
     with pytest.raises(IOError):
         load_ptv_data(p)
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    pytest.importorskip("orbax.checkpoint")
+    from ptv_interpolation_tpu.io.checkpoint import (
+        load_checkpoint, save_checkpoint,
+    )
+    rng = np.random.default_rng(11)
+    shape = (4, 5, 6)
+    res = FieldResult(
+        x=np.arange(6.0), y=np.arange(5.0), z=np.arange(4.0),
+        u=rng.normal(size=shape).astype(np.float32),
+        v=rng.normal(size=shape).astype(np.float32),
+        w=rng.normal(size=shape).astype(np.float32),
+        mask=rng.random(shape) > 0.3,
+    )
+    p = str(tmp_path / "ckpt")
+    save_checkpoint(p, res)
+    back = load_checkpoint(p)
+    np.testing.assert_allclose(np.asarray(back.u), res.u)
+    np.testing.assert_array_equal(np.asarray(back.mask), res.mask)
+    assert not back.has_dual
