@@ -74,7 +74,7 @@ def main():
     grid = create_grid(((0, GRID_N + 1), (0, GRID_N + 1), (0, GRID_N + 1)),
                        GRID_N)
 
-    kwargs = dict(k=K, recall_target=0.90, group=8)
+    kwargs = dict(k=K, recall_target=0.90, group=8, block=(4, 8, 16))
 
     log("compiling + warmup run...")
     t0 = time.time()
