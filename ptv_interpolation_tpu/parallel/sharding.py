@@ -104,6 +104,72 @@ def sharded_interpolate_field(points, values, grid: Grid, mesh: Mesh,
     return out[..., 0], out[..., 1], out[..., 2]
 
 
+def sharded_grid_interpolate(points, values, grid: Grid, mesh: Mesh,
+                             method: str = "sibson", k: int = 50,
+                             power: float = 2.0,
+                             block=(4, 8, 16), recall_target: float = 0.9,
+                             group: int = 8, margin_factor: float = 1.45,
+                             axis_name: str = DATA_AXIS):
+    """The block-centric τ-threshold kernel sharded over the mesh.
+
+    The grid's z-axis is cut into one slab per device (padded to equal
+    slabs); every device runs the same compiled block kernel on its slab
+    with the cell list and values replicated (one ICI broadcast). This is
+    the multi-chip form of the headline 1M→256³ benchmark kernel — work is
+    embarrassingly parallel over slabs, so scaling is linear up to the
+    broadcast cost. Returns (nz, ny, nx, C).
+    """
+    import numpy as np
+
+    from ptv_interpolation_tpu.interpolate.knn_weights import (
+        _idw_panel_weights, _sibson_panel_weights)
+    from ptv_interpolation_tpu.ops.grid_knn import (
+        _grid_block_weighted_sum, _host_setup)
+
+    if method == "idw":
+        weight_fn = _idw_panel_weights(float(power))
+    elif method == "sibson":
+        weight_fn = _sibson_panel_weights()
+    else:
+        raise ValueError(f"sharded grid kernel supports idw/sibson, got {method!r}")
+
+    n_dev = mesh.devices.size
+    bz = block[0]
+    # z-slab size: equal slabs, each a multiple of the block z-extent
+    slab = -(-grid.nz // n_dev)
+    slab = -(-slab // bz) * bz
+    nz_pad = slab * n_dev
+
+    (cells, values_sorted, axes, margin, mc, row_len) = _host_setup(
+        points, values, grid, k, None, None, block, margin_factor)
+    x_ax, y_ax, _ = axes
+    # padded z axis, one slab per device (each slab keeps real spacing)
+    z_full = np.asarray(grid.z, np.float32)
+    step = float(z_full[1] - z_full[0]) if len(z_full) > 1 else 1.0
+    z_pad = np.concatenate([
+        z_full, z_full[-1] + step * np.arange(1, nz_pad - grid.nz + 1,
+                                              dtype=np.float32)])
+    z_slabs = jnp.asarray(z_pad.reshape(n_dev, slab))
+
+    slab_shape = (slab, grid.ny, grid.nx)
+
+    def local(cells_l, vals_l, x_l, y_l, z_slab):
+        out = _grid_block_weighted_sum(
+            cells_l, vals_l, (x_l, y_l, z_slab[0]), jnp.float32(margin), k,
+            tuple(block), slab_shape, mc, row_len, weight_fn,
+            recall_target, group)
+        return out[None]
+
+    cell_specs = jax.tree_util.tree_map(lambda _: P(), cells)
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(cell_specs, P(), P(), P(), P(axis_name)),
+        out_specs=P(axis_name), check_vma=False)
+    out = jax.jit(fn)(cells, values_sorted, x_ax, y_ax, z_slabs)
+    out = out.reshape(nz_pad, grid.ny, grid.nx, -1)
+    return out[: grid.nz]
+
+
 # ---------------------------------------------------------------------------
 # Full sharded pipeline step (the "training step" of this framework)
 # ---------------------------------------------------------------------------

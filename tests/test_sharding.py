@@ -80,3 +80,20 @@ def test_entry_compiles_single_chip():
     out = fn(*args)
     assert np.asarray(out[0]).shape == (16, 16, 16)
     assert np.isfinite(float(out[3]))
+
+
+def test_sharded_grid_kernel_matches_single_device(problem):
+    from ptv_interpolation_tpu.grid import create_grid
+    from ptv_interpolation_tpu.interpolate.knn_weights import (
+        sibson_grid_interpolate,
+    )
+    from ptv_interpolation_tpu.parallel.sharding import sharded_grid_interpolate
+    points, values, _ = problem
+    grid = create_grid(((0, 17), (0, 17), (0, 17)), 16)
+    mesh = make_mesh(8)
+    got = np.asarray(sharded_grid_interpolate(
+        points, values, grid, mesh, method="sibson", k=12, block=(2, 8, 8)))
+    want = np.asarray(sibson_grid_interpolate(
+        points, values, grid, k=12, block=(2, 8, 8)))
+    close = np.isclose(got, want, rtol=1e-3, atol=1e-4)
+    assert close.mean() > 0.999
