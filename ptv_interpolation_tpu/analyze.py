@@ -222,6 +222,13 @@ def run_analysis(config: AnalyzeConfig, field=None):
 
     if config.drag:
         log("\n=== Computing Interface Drag Force ===")
+        # DELIBERATE reference-parity quirk (`analyze_flow.py:426`): the
+        # pipeline labels the FLUID phase (mask=True → label 1) even though
+        # the drag integrators document 0=fluid. Mesh drag then integrates
+        # the force ON the fluid (resistive, physically meaningful), while
+        # staircase viscous terms read hard-zeroed solid-side velocities.
+        # Pass --drag-labels with a solid-labeled mask volume to integrate
+        # grain forces instead, exactly as the reference's validation does.
         drag_mask = mask.astype(int) if mask is not None \
             else np.zeros_like(u, dtype=int)
         total_volume = nz * dz * ny * dy * nx * dx

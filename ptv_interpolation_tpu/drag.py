@@ -226,7 +226,8 @@ def compute_interface_drag_mesh(u, v, w, pressure, viscosity, dx, dy, dz,
             continue
         centroids, tri_areas, normals = triangle_geometry(
             tri_verts, spacing=(dz, dy, dx))
-        normals = orient_normals(normals, centroids, label_vol)
+        normals = orient_normals(normals, centroids, label_vol,
+                                 spacing=(dz, dy, dx))
 
         # voxel-space unit normals for offset sampling
         n_vox = normals / np.asarray([dz, dy, dx])

@@ -33,13 +33,17 @@ from ptv_interpolation_tpu.ops.neighbors import (
 _EPS = 1e-10
 
 
-def _idw_weights(dist: jax.Array, power: float) -> jax.Array:
-    """Reference `interpolator.py:141-147`."""
+def _idw_weights(dist: jax.Array, power: float, ok=None) -> jax.Array:
+    """Reference `interpolator.py:141-147`. ``ok`` masks invalid neighbor
+    slots (k > available candidates); weights are renormalized over the
+    valid set only."""
     w = 1.0 / (dist ** power + _EPS)
-    return w / jnp.sum(w, axis=-1, keepdims=True)
+    if ok is not None:
+        w = jnp.where(ok, w, 0.0)
+    return w / jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-37)
 
 
-def _sibson_weights(dist: jax.Array) -> jax.Array:
+def _sibson_weights(dist: jax.Array, ok=None) -> jax.Array:
     """Reference `interpolator.py:102-116` (smoothed IDW).
 
     The smoothing factor is computed as ``exp(-(d - min d)/std)`` instead of
@@ -47,24 +51,38 @@ def _sibson_weights(dist: jax.Array) -> jax.Array:
     the final normalization, so the result is mathematically identical, but
     the shifted form cannot underflow to an all-zero row in f32 (queries far
     from the cloud have d/std ≫ 88, the f32 exp underflow limit).
+
+    With ``ok``, the min/std statistics and the normalization run over the
+    valid neighbor slots only.
     """
-    inv = 1.0 / (dist + _EPS)
-    w = inv / jnp.sum(inv, axis=-1, keepdims=True)
-    dist_std = jnp.std(dist, axis=-1, keepdims=True)
-    d_shift = dist - jnp.min(dist, axis=-1, keepdims=True)
-    smoothing = jnp.exp(-d_shift / (dist_std + _EPS))
-    w = w * smoothing
-    return w / jnp.sum(w, axis=-1, keepdims=True)
+    if ok is None:
+        ok = jnp.ones(dist.shape, bool)
+    okf = ok.astype(dist.dtype)
+    n_ok = jnp.maximum(jnp.sum(okf, axis=-1, keepdims=True), 1.0)
+    inv = jnp.where(ok, 1.0 / (dist + _EPS), 0.0)
+    # masked mean/std of the valid distances (numpy std ddof=0 semantics)
+    d_ok = jnp.where(ok, dist, 0.0)
+    mean = jnp.sum(d_ok, axis=-1, keepdims=True) / n_ok
+    var = jnp.sum(okf * (d_ok - mean) ** 2, axis=-1, keepdims=True) / n_ok
+    dist_std = jnp.sqrt(jnp.maximum(var, 0.0))
+    dmin = jnp.min(jnp.where(ok, dist, jnp.inf), axis=-1, keepdims=True)
+    dmin = jnp.where(jnp.isfinite(dmin), dmin, 0.0)
+    smoothing = jnp.where(ok, jnp.exp(-(dist - dmin) / (dist_std + _EPS)), 0.0)
+    w = inv * smoothing
+    return w / jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-37)
 
 
 def _weighted_tile(neighbor_fn, values, weight_fn: Callable):
     def tile(q_tile):
         sq, idx = neighbor_fn(q_tile)
-        dist = jnp.sqrt(jnp.maximum(sq, 0.0))
-        w = weight_fn(dist)                                   # (T, k)
-        w = jnp.where(idx >= 0, w, 0.0)
+        ok = idx >= 0
+        # clamp sentinel distances before weighting: sq of a missing slot is
+        # ~3.4e38 and overflows f32 inside dist**power
+        dist = jnp.sqrt(jnp.maximum(jnp.where(ok, sq, 1.0), 0.0))
+        w = weight_fn(dist, ok)                               # (T, k)
         vals = values[jnp.clip(idx, 0, None)]                 # (T, k, C)
-        return jnp.einsum("tk,tkc->tc", w, vals)
+        return jnp.einsum("tk,tkc->tc", w, vals,
+                          precision=jax.lax.Precision.HIGHEST)
 
     return tile
 
@@ -84,7 +102,8 @@ def idw_interpolate(points, values, queries, k: int = 50, power: float = 2.0,
     """IDW interpolation of ``values`` (N, C) at ``queries`` (Q, 3)."""
     values = jnp.asarray(values, jnp.float32)
     neighbor = _neighbor_fn(points, k, cells, rings, point_chunk)
-    tile = _weighted_tile(neighbor, values, lambda d: _idw_weights(d, power))
+    tile = _weighted_tile(neighbor, values,
+                          lambda d, ok: _idw_weights(d, power, ok))
     return map_query_tiles(tile, queries, query_tile)
 
 
@@ -107,22 +126,20 @@ def sibson_interpolate(points, values, queries, k: int = 30,
 @functools.lru_cache(maxsize=32)
 def _idw_consume(power: float):
     def consume(sq, n_pos, n_val, ok, q):
-        d = jnp.sqrt(jnp.maximum(sq, 0.0))
-        w = _idw_weights(d, power)
-        w = jnp.where(ok, w, 0.0)
-        w = w / jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-37)
-        return jnp.einsum("bk,bkc->bc", w, n_val)
+        d = jnp.sqrt(jnp.maximum(jnp.where(ok, sq, 1.0), 0.0))
+        w = _idw_weights(d, power, ok)
+        return jnp.einsum("bk,bkc->bc", w, n_val,
+                          precision=jax.lax.Precision.HIGHEST)
     return consume
 
 
 @functools.lru_cache(maxsize=1)
 def _sibson_consume():
     def consume(sq, n_pos, n_val, ok, q):
-        d = jnp.sqrt(jnp.maximum(sq, 0.0))
-        w = _sibson_weights(d)
-        w = jnp.where(ok, w, 0.0)
-        w = w / jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-37)
-        return jnp.einsum("bk,bkc->bc", w, n_val)
+        d = jnp.sqrt(jnp.maximum(jnp.where(ok, sq, 1.0), 0.0))
+        w = _sibson_weights(d, ok)
+        return jnp.einsum("bk,bkc->bc", w, n_val,
+                          precision=jax.lax.Precision.HIGHEST)
     return consume
 
 
@@ -163,6 +180,7 @@ def idw_grid_interpolate(points, values, grid, k: int = 50,
                               needs_positions=False, **kwargs)
     return grid_weighted_interpolate(points, values, grid, k,
                                      _idw_panel_weights(float(power)),
+                                     mode="idw", power=float(power),
                                      **kwargs)
 
 
@@ -177,7 +195,8 @@ def sibson_grid_interpolate(points, values, grid, k: int = 30,
                               out_dim=np.shape(values)[1], exact_topk=True,
                               needs_positions=False, **kwargs)
     return grid_weighted_interpolate(points, values, grid, k,
-                                     _sibson_panel_weights(), **kwargs)
+                                     _sibson_panel_weights(), mode="sibson",
+                                     **kwargs)
 
 
 @functools.partial(jax.jit, static_argnames=("rings", "query_tile",

@@ -46,7 +46,11 @@ def _local_rbf_solve_tile(q_tile, sq, xi, fi, valid, k, kernel, smoothing,
     """Shared per-neighborhood RBF fit+evaluate used by both the tiled and
     the grid-block paths: center on query, scale by k-th distance, solve
     the (k+m)² saddle system batched, evaluate at the query."""
-    scale = jnp.sqrt(jnp.maximum(sq[:, -1], 1e-30))[:, None, None]
+    # k-th *valid* distance (missing slots carry a 3.4e38 sentinel that
+    # would collapse every valid offset to ~0 and wreck conditioning)
+    sq_valid = jnp.where(valid, sq, 0.0)
+    scale = jnp.sqrt(jnp.maximum(
+        jnp.max(sq_valid, axis=-1), 1e-30))[:, None, None]
     xl = (xi - q_tile[:, None, :]) / scale                # (T, k, 3)
 
     r = jnp.sqrt(jnp.maximum(
@@ -75,7 +79,7 @@ def _local_rbf_solve_tile(q_tile, sq, xi, fi, valid, k, kernel, smoothing,
     c = sol[:, :k, :]
     d = sol[:, k:, :]
 
-    rq = jnp.sqrt(jnp.maximum(sq, 0.0)) / scale[:, :, 0]
+    rq = jnp.sqrt(jnp.maximum(sq_valid, 0.0)) / scale[:, :, 0]
     Kq = kernel_value(kernel, epsilon * rq)               # (T, k)
     Kq = jnp.where(valid, Kq, 0.0)
     out = jnp.einsum("tk,tkc->tc", Kq, c)

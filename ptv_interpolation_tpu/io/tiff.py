@@ -137,25 +137,6 @@ def read_tiff(path: str) -> np.ndarray:
     return arr
 
 
-def _pack_entry(endian, tag, typ, values, heap_offset, heap):
-    count = len(values)
-    size = _TYPE_SIZES[typ] * count
-    if typ == 2:
-        data = values[0].encode("latin-1") + b"\x00"
-        count = len(data)
-        size = count
-    else:
-        data = struct.pack(endian + str(count) + _TYPE_FMT[typ], *values)
-    if size <= 4:
-        field = data + b"\x00" * (4 - size)
-        return struct.pack(endian + "HHI", tag, typ, count) + field, heap_offset, heap
-    else:
-        field = struct.pack(endian + "I", heap_offset)
-        if len(data) % 2:
-            data += b"\x00"
-        return struct.pack(endian + "HHI", tag, typ, count) + field, heap_offset + len(data), heap + data
-
-
 def write_tiff(path: str, array: np.ndarray, imagej: bool = False, axes: str | None = None):
     """Write a grayscale multi-page TIFF (uncompressed, little-endian).
 

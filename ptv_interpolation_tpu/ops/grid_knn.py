@@ -225,9 +225,14 @@ def _grid_block_weighted_sum(cells: CellList, values_sorted, axes, margin,
         mask = (d2 <= tau2) & valid_c[None, :]
         d = jnp.sqrt(jnp.maximum(d2, 0.0))
         w = jnp.where(mask, weight_fn(d, mask, sq_topk), 0.0)
-        num = jnp.dot(w, cand_vals, preferred_element_type=jnp.float32)
+        # per-channel VPU reductions: exact f32 without the 6-pass cost of
+        # a Precision.HIGHEST matmul (the MXU's default bf16 rounding is
+        # visible at the 1e-4 level even on constant fields)
+        num = jnp.stack([jnp.sum(w * cand_vals[None, :, c], axis=1)
+                         for c in range(V)], axis=1)
         den = jnp.sum(w, axis=1, keepdims=True)
-        return num / jnp.maximum(den, 1e-37)
+        return jnp.concatenate(
+            [num / jnp.maximum(den, 1e-37), den], axis=1)
 
     n_blocks = nbz * nby * nbx
     g = group
@@ -235,10 +240,11 @@ def _grid_block_weighted_sum(cells: CellList, values_sorted, axes, margin,
         g //= 2
     ids = jnp.arange(n_blocks, dtype=jnp.int32).reshape(-1, g)
     out = jax.lax.map(jax.vmap(one_block), ids)
-    out = out.reshape(nbz, nby, nbx, bz, by, bx, V)
+    out = out.reshape(nbz, nby, nbx, bz, by, bx, V + 1)
     out = out.transpose(0, 3, 1, 4, 2, 5, 6)
-    out = out.reshape(nbz * bz, nby * by, nbx * bx, V)
-    return out[:nz, :ny, :nx]
+    out = out.reshape(nbz * bz, nby * by, nbx * bx, V + 1)
+    out = out[:nz, :ny, :nx]
+    return out[..., :V], out[..., V]
 
 
 def grid_weighted_interpolate(points, values, grid: Grid, k: int,
@@ -248,7 +254,8 @@ def grid_weighted_interpolate(points, values, grid: Grid, k: int,
                               block: Tuple[int, int, int] = (4, 8, 16),
                               margin_factor: float = 1.45,
                               recall_target: float = 0.9, group: int = 8,
-                              backend: str = "xla", mode: str = "sibson"):
+                              backend: str = "xla", mode: str = "sibson",
+                              power: float = 2.0):
     """Driver for the weighted-sum fast path (shares host setup with
     :func:`grid_knn_apply`).
 
@@ -258,17 +265,38 @@ def grid_weighted_interpolate(points, values, grid: Grid, k: int,
     if backend == "pallas":
         from ptv_interpolation_tpu.ops.pallas_grid_knn import (
             pallas_grid_weighted_interpolate)
-        import jax.numpy as _jnp
-        return _jnp.asarray(pallas_grid_weighted_interpolate(
-            points, values, grid, k, mode=mode,
+        return jnp.asarray(pallas_grid_weighted_interpolate(
+            points, values, grid, k, mode=mode, power=power,
             margin_factor=margin_factor))
     setup = _host_setup(points, values, grid, k, cells, cell_size, block,
                         margin_factor)
     (cells, values_sorted, axes, margin, mc, row_len) = setup
-    return _grid_block_weighted_sum(cells, values_sorted, axes,
-                                    jnp.float32(margin), k, tuple(block),
-                                    grid.shape, mc, row_len, weight_fn,
-                                    recall_target, group)
+    out, den = _grid_block_weighted_sum(cells, values_sorted, axes,
+                                        jnp.float32(margin), k, tuple(block),
+                                        grid.shape, mc, row_len, weight_fn,
+                                        recall_target, group)
+    # far-field escape hatch: grid nodes whose candidate region holds no
+    # particles (strongly non-uniform clouds) would silently read 0 —
+    # recompute them exactly through the generic kNN path
+    empty = np.asarray(den == 0.0)
+    n_empty = int(empty.sum())
+    if n_empty:
+        from ptv_interpolation_tpu.interpolate.knn_weights import (
+            idw_interpolate, sibson_interpolate)
+        iz, iy, ix = np.nonzero(empty)
+        queries = np.stack([np.asarray(grid.x)[ix], np.asarray(grid.y)[iy],
+                            np.asarray(grid.z)[iz]], axis=-1).astype(np.float32)
+        if mode == "idw":
+            fixed = idw_interpolate(points, values, queries,
+                                    k=min(k, np.shape(points)[0]),
+                                    power=power)
+        else:
+            fixed = sibson_interpolate(points, values, queries,
+                                       k=min(k, np.shape(points)[0]))
+        out = np.array(out)   # writable host copy
+        out[iz, iy, ix] = np.asarray(fixed)
+        out = jnp.asarray(out)
+    return out
 
 
 def grid_knn_apply(points, values, grid: Grid, k: int, consume_fn: Callable,
@@ -293,6 +321,26 @@ def grid_knn_apply(points, values, grid: Grid, k: int, consume_fn: Callable,
                             k, tuple(block), grid.shape, mc, row_len,
                             out_dim, consume_fn, exact_topk, recall_target,
                             group, needs_positions)
+
+
+def _row_capacity(cells: CellList, mcx: int) -> int:
+    """Static row capacity: max points in any ``mcx``-wide x-run of cells —
+    the guaranteed-coverage bound shared by the grid and scatter kernels
+    (capped by the 1024-column sentinel padding of the sorted arrays)."""
+    ncx, ncy, ncz = cells.dims
+    starts_np = np.asarray(cells.starts)
+    row_counts = np.diff(starts_np.astype(np.int64)).reshape(ncz * ncy, ncx)
+    w = min(mcx, ncx)
+    csum = np.concatenate([np.zeros((row_counts.shape[0], 1), np.int64),
+                           np.cumsum(row_counts, axis=1)], axis=1)
+    windows = csum[:, w:] - csum[:, :-w] if ncx > w else csum[:, -1:]
+    row_len = int(windows.max()) if windows.size else int(row_counts.max())
+    row_len = max(row_len, 1)
+    if row_len > 1024:
+        raise ValueError(
+            f"cell row capacity {row_len} exceeds the sorted-array padding; "
+            f"increase cell resolution or use the generic kNN path")
+    return row_len
 
 
 def _host_setup(points, values, grid: Grid, k: int, cells, cell_size, block,
@@ -326,20 +374,7 @@ def _host_setup(points, values, grid: Grid, k: int, cells, cell_size, block,
         int(math.ceil((ext + 2.0 * margin) / cell_size)) + 1
         for ext in (block_ext[2], block_ext[1], block_ext[0]))  # z, y, x
 
-    # static row capacity: max points in any mcx-wide x-run of cells
-    ncx, ncy, ncz = cells.dims
-    starts_np = np.asarray(cells.starts)
-    row_counts = np.diff(starts_np).reshape(ncz * ncy, ncx)
-    w = min(mc[2], ncx)
-    csum = np.concatenate([np.zeros((row_counts.shape[0], 1), np.int64),
-                           np.cumsum(row_counts, axis=1)], axis=1)
-    windows = csum[:, w:] - csum[:, :-w] if ncx > w else csum[:, -1:]
-    row_len = int(windows.max()) if windows.size else int(row_counts.max())
-    row_len = max(row_len, 1)
-    if row_len > 1024:
-        raise ValueError(
-            f"cell row capacity {row_len} exceeds the sorted-array padding; "
-            f"increase cell resolution or use the generic kNN path")
+    row_len = _row_capacity(cells, mc[2])
 
     # axes padded to block multiples (out-of-range queries are sliced away)
     def pad_axis(ax, b):
@@ -492,16 +527,7 @@ def scatter_knn_apply(points, values, queries, k: int, consume_fn: Callable,
     # static candidate-region dims for a block of edge block_edge + 2·margin
     mc = tuple(int(math.ceil((block_edge + 2 * margin) / cell_size)) + 1
                for _ in range(3))
-    ncx, ncy, ncz = cells.dims
-    starts_np = np.asarray(cells.starts)
-    row_counts = np.diff(starts_np).reshape(ncz * ncy, ncx)
-    w = min(mc[2], ncx)
-    csum = np.concatenate([np.zeros((row_counts.shape[0], 1), np.int64),
-                           np.cumsum(row_counts, axis=1)], axis=1)
-    windows = csum[:, w:] - csum[:, :-w] if ncx > w else csum[:, -1:]
-    row_len = max(int(windows.max()) if windows.size else 1, 1)
-    if row_len > 1024:
-        raise ValueError("cell row capacity exceeds sorted-array padding")
+    row_len = _row_capacity(cells, mc[2])
 
     queries_padded = np.concatenate(
         [qrs, np.full((1, 3), 1e19, np.float32)])

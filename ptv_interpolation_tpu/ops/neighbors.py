@@ -140,7 +140,10 @@ def knn_bruteforce(points: jax.Array, queries: jax.Array, k: int,
     """
     tile_fn = bruteforce_tile_fn(points, k, point_chunk)
     d2, idx = map_query_tiles(tile_fn, queries, query_tile)
-    return jnp.sqrt(d2), idx
+    dist = jnp.sqrt(d2)
+    # KDTree convention: missing neighbors (k > n_points) are inf-distance
+    dist = jnp.where(idx < 0, jnp.inf, dist)
+    return dist, idx
 
 
 # ---------------------------------------------------------------------------

@@ -73,7 +73,7 @@ def sharded_interpolate_values(points, values, queries, mesh: Mesh,
         else:
             neighbor = bruteforce_tile_fn(pts, k, point_chunk)
         if method == "idw":
-            weight_fn = lambda d: _idw_weights(d, power)  # noqa: E731
+            weight_fn = lambda d, ok: _idw_weights(d, power, ok)  # noqa: E731
         elif method == "sibson":
             weight_fn = _sibson_weights
         else:
@@ -154,7 +154,7 @@ def sharded_grid_interpolate(points, values, grid: Grid, mesh: Mesh,
     slab_shape = (slab, grid.ny, grid.nx)
 
     def local(cells_l, vals_l, x_l, y_l, z_slab):
-        out = _grid_block_weighted_sum(
+        out, _den = _grid_block_weighted_sum(
             cells_l, vals_l, (x_l, y_l, z_slab[0]), jnp.float32(margin), k,
             tuple(block), slab_shape, mc, row_len, weight_fn,
             recall_target, group)
@@ -201,7 +201,7 @@ def make_pipeline_step(grid: Grid, mesh: Optional[Mesh] = None, k: int = 16,
     def interp_local(pts, vals, q_shard):
         neighbor = bruteforce_tile_fn(pts, k)
         tile = _weighted_tile(neighbor, vals,
-                              lambda d: _idw_weights(d, power))
+                              lambda d, ok: _idw_weights(d, power, ok))
         return map_query_tiles(tile, q_shard, query_tile)
 
     def step(points, values, fluid_mask):

@@ -194,18 +194,28 @@ def triangle_geometry(tri_verts: np.ndarray, spacing=(1.0, 1.0, 1.0)):
 
 
 def orient_normals(normals: np.ndarray, centroids: np.ndarray,
-                   volume: np.ndarray) -> np.ndarray:
+                   volume: np.ndarray,
+                   spacing=(1.0, 1.0, 1.0)) -> np.ndarray:
     """Flip normals to point toward increasing ``volume`` (into the labeled
     phase) — skimage's marching-cubes convention, which the reference's
     drag math relies on. The field is sampled trilinearly at ±0.5 voxel
     along each normal; the normal keeps the direction of the larger value
-    (robust on binary step volumes where voxel gradients vanish)."""
+    (robust on binary step volumes where voxel gradients vanish).
+
+    ``normals`` are physical-space unit normals while ``centroids`` are in
+    voxel-index coordinates, so the probe direction is converted with
+    ``spacing`` (dz, dy, dx) — on anisotropic grids the raw physical vector
+    points the wrong way in index space."""
     from scipy.ndimage import map_coordinates as _scipy_map
 
     vol = np.ascontiguousarray(volume, np.float64)
-    ahead = _scipy_map(vol, (centroids + 0.5 * normals).T, order=1,
+    sp = np.asarray(spacing, np.float64)
+    n_vox = normals / sp
+    n_vox = n_vox / np.maximum(
+        np.linalg.norm(n_vox, axis=1, keepdims=True), 1e-20)
+    ahead = _scipy_map(vol, (centroids + 0.5 * n_vox).T, order=1,
                        mode="nearest")
-    behind = _scipy_map(vol, (centroids - 0.5 * normals).T, order=1,
+    behind = _scipy_map(vol, (centroids - 0.5 * n_vox).T, order=1,
                         mode="nearest")
     flip = ahead < behind
     out = normals.copy()

@@ -116,3 +116,45 @@ def test_pallas_kernel_interpret_parity(problem):
         bisect_iters=18).reshape(-1, 3)
     want = np.asarray(sibson_interpolate(pts, vals, grid.flat_coords(), k=20))
     _assert_almost_all_close(got, want, rtol=2e-3, atol=2e-4, frac=0.998)
+
+
+def test_constant_field_is_exact():
+    """Any normalized weighting of a constant field must return it exactly
+    (regression: default-precision MXU matmul injected ~3.5e-4 error)."""
+    rng = np.random.default_rng(30)
+    pts = rng.uniform(0, 32, size=(5000, 3)).astype(np.float32)
+    vals = np.full((5000, 3), 7.0, np.float32)
+    grid = create_grid(((0, 33), (0, 33), (0, 33)), 16)
+    out = np.asarray(sibson_grid_interpolate(pts, vals, grid, k=20))
+    np.testing.assert_allclose(out, 7.0, rtol=1e-6)
+    out = np.asarray(idw_grid_interpolate(pts, vals, grid, k=20))
+    np.testing.assert_allclose(out, 7.0, rtol=1e-6)
+
+
+def test_far_field_nodes_fall_back_to_exact_knn():
+    """Grid nodes whose candidate region is empty must use the generic kNN
+    path, not silently return zero (regression)."""
+    rng = np.random.default_rng(31)
+    pts = rng.uniform(0, 25, size=(20000, 3)).astype(np.float32)
+    vals = np.full((20000, 3), 7.0, np.float32)
+    grid = create_grid(((0, 101), (0, 101), (0, 101)), 32)
+    out = np.asarray(idw_grid_interpolate(pts, vals, grid, k=20))
+    np.testing.assert_allclose(out, 7.0, rtol=1e-5)
+
+
+def test_sparse_neighborhoods_finite_and_exact():
+    """k > available candidates in a cell-list neighborhood: weights must
+    renormalize over the valid slots (regression: inf for IDW, bias for
+    sibson)."""
+    from ptv_interpolation_tpu.interpolate import idw_interpolate
+    from ptv_interpolation_tpu.ops.neighbors import build_cell_list
+    rng = np.random.default_rng(32)
+    pts = rng.uniform(0, 1, size=(50, 3)).astype(np.float32)
+    vals = np.full((50, 3), 5.0, np.float32)
+    cells = build_cell_list(pts, cell_size=0.08)
+    q = np.asarray([[0.5, 0.5, 0.5]], np.float32)
+    out = np.asarray(idw_interpolate(pts, vals, q, k=30, cells=cells))
+    assert np.isfinite(out).all()
+    np.testing.assert_allclose(out, 5.0, rtol=1e-5)
+    out_s = np.asarray(sibson_interpolate(pts, vals, q, k=30, cells=cells))
+    np.testing.assert_allclose(out_s, 5.0, rtol=1e-5)
