@@ -150,3 +150,30 @@ def test_cubic_raises():
                           np.zeros((4, 3), np.float32),
                           create_grid(((0, 1), (0, 1), (0, 1)), 2),
                           method="cubic")
+
+
+def test_interpolators_recover_analytic_cylinder_flow():
+    """All kNN methods must reconstruct the analytic potential flow past
+    two cylinders from scattered samples (the reference's cylinder fixture
+    as an accuracy benchmark rather than a smoke test)."""
+    from ptv_interpolation_tpu.datasets import cylinders
+    cloud, mask_grid, bounds = cylinders.generate(n_points=20000, seed=3)
+    grid = create_grid(bounds, (48, 24, 8))
+    X, Y, Z = (np.asarray(a) for a in grid.meshgrid())
+    u_true, v_true = cylinders.analytic_velocity(X.ravel(), Y.ravel())
+
+    # evaluate away from the cylinders and domain edges
+    q = np.asarray(grid.flat_coords())
+    d1 = np.hypot(q[:, 0] - 0.0, q[:, 1] - 0.0)
+    d2 = np.hypot(q[:, 0] - 3.0, q[:, 1] - 3.0 * 0)
+    sel = (d1 > 0.6) & (d2 > 0.6) & (np.abs(q[:, 1]) < 1.6) \
+        & (q[:, 0] > -1.5) & (q[:, 0] < 5.5)
+
+    for method, kwargs in [("idw", dict(idw_neighbors=30)),
+                           ("sibson", dict(sibson_neighbors=30)),
+                           ("rbf", dict(rbf_neighbors=25))]:
+        U, V, W = interpolate_field(cloud.points, cloud.values, grid,
+                                    method=method, **kwargs)
+        u_err = np.abs(np.asarray(U).ravel()[sel] - u_true[sel])
+        scale = np.abs(u_true[sel]).mean()
+        assert u_err.mean() / scale < 0.05, (method, u_err.mean() / scale)
