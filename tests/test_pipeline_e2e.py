@@ -130,3 +130,30 @@ def test_auto_align_recovers_offset(dataset):
                                    verbose=False)
     # recovered offset should undo the shift to within a voxel or two
     np.testing.assert_allclose(best, -shift, atol=2.0)
+
+
+def test_compare_results_tool(dataset, tmp_path, monkeypatch):
+    """PTV-vs-simulation comparator: normalization + shape truncation."""
+    d, csv, tif = dataset
+    npz = str(d / "out.npz")
+    if not os.path.exists(npz):
+        pytest.skip("pipeline artifact missing")
+    from ptv_interpolation_tpu.cli.tools import compare_results
+    from ptv_interpolation_tpu.io import load_velocity_field
+    from ptv_interpolation_tpu.io.tiff import write_tiff
+
+    f = load_velocity_field(npz)
+    # fabricate a "simulation" = 2x-scaled, slightly larger field
+    for name, arr in (("u", f.u), ("v", f.v), ("w", f.w)):
+        big = np.pad(np.asarray(arr, np.float32) * 2.0,
+                     ((0, 2), (0, 2), (0, 2)))
+        write_tiff(str(tmp_path / f"ref_{name}.tif"), big)
+
+    l2 = compare_results([
+        "--ptv", npz,
+        "--ref-u", str(tmp_path / "ref_u.tif"),
+        "--ref-v", str(tmp_path / "ref_v.tif"),
+        "--ref-w", str(tmp_path / "ref_w.tif"),
+        "--no-plot"])
+    # mean-speed normalization divides out the 2x factor -> near-zero L2
+    assert l2 < 1e-5
