@@ -147,8 +147,14 @@ def remove_outliers_knn(cloud: PointCloud, k: int = 25, threshold: float = 3.0,
     if use_celllist is None:
         use_celllist = n > 200_000  # O(N²) beyond this is wasteful
     if use_celllist:
-        keep, radius = knn_mad_mask_scatter(cloud.points, cloud.values,
-                                            k=k, threshold=threshold)
+        from ptv_interpolation_tpu.ops.grid_knn import RowCapacityError
+        try:
+            keep, radius = knn_mad_mask_scatter(cloud.points, cloud.values,
+                                                k=k, threshold=threshold)
+        except RowCapacityError:
+            # pathologically clustered cloud: fall back to the exact path
+            keep, radius = knn_mad_mask(cloud.points, cloud.values, k=k,
+                                        threshold=threshold)
     else:
         keep, radius = knn_mad_mask(cloud.points, cloud.values, k=k,
                                     threshold=threshold)

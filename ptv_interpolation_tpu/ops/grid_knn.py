@@ -231,8 +231,16 @@ def _grid_block_weighted_sum(cells: CellList, values_sorted, axes, margin,
         num = jnp.stack([jnp.sum(w * cand_vals[None, :, c], axis=1)
                          for c in range(V)], axis=1)
         den = jnp.sum(w, axis=1, keepdims=True)
+        # coverage sentinel: the candidate region only guarantees the true
+        # k-set when the k-th candidate lies within the kNN margin of the
+        # query (guaranteed-radius property). Zero the den channel for
+        # uncovered queries — sparse/void neighborhoods on non-uniform
+        # clouds and domain edge/corner nodes (~0.1% on uniform clouds) —
+        # so repair_empty_nodes recomputes them through the exact path.
+        covered = tau2 <= margin * margin
         return jnp.concatenate(
-            [num / jnp.maximum(den, 1e-37), den], axis=1)
+            [num / jnp.maximum(den, 1e-37),
+             jnp.where(covered, den, 0.0)], axis=1)
 
     n_blocks = nbz * nby * nbx
     g = group
@@ -245,6 +253,49 @@ def _grid_block_weighted_sum(cells: CellList, values_sorted, axes, margin,
     out = out.reshape(nbz * bz, nby * by, nbx * bx, V + 1)
     out = out[:nz, :ny, :nx]
     return out[..., :V], out[..., V]
+
+
+def _generic_knn_fallback(points, values, queries, mode: str, power: float):
+    """Exact per-query interpolation through the generic kNN path — the
+    escape hatch for nodes (or whole clouds) the block kernel can't serve."""
+    from ptv_interpolation_tpu.interpolate.knn_weights import (
+        idw_interpolate, sibson_interpolate)
+    k = min(50, np.shape(points)[0])
+    if mode == "idw":
+        return idw_interpolate(points, values, queries, k=k, power=power)
+    return sibson_interpolate(points, values, queries, k=k)
+
+
+def repair_empty_nodes(out, den, points, values, grid: Grid, k: int,
+                       mode: str, power: float = 2.0):
+    """Escape hatch for nodes the block kernel cannot serve exactly:
+    empty candidate regions (void regions of non-uniform clouds) and
+    uncovered neighborhoods (k-th candidate beyond the kNN margin —
+    domain edges/corners, sparse pockets). Both arrive with ``den == 0``
+    (the kernel's coverage sentinel) and are recomputed through the exact
+    generic kNN path.
+
+    ``out``: (nz, ny, nx, V), ``den``: (nz, ny, nx) weight sums from
+    :func:`_grid_block_weighted_sum`. Shared by the single-chip driver and
+    the sharded slab path so multi-chip results match single-chip on
+    clouds with void regions."""
+    empty = np.asarray(den == 0.0)
+    if not empty.any():
+        return out
+    from ptv_interpolation_tpu.interpolate.knn_weights import (
+        idw_interpolate, sibson_interpolate)
+    iz, iy, ix = np.nonzero(empty)
+    queries = np.stack([np.asarray(grid.x)[ix], np.asarray(grid.y)[iy],
+                        np.asarray(grid.z)[iz]], axis=-1).astype(np.float32)
+    if mode == "idw":
+        fixed = idw_interpolate(points, values, queries,
+                                k=min(k, np.shape(points)[0]), power=power)
+    else:
+        fixed = sibson_interpolate(points, values, queries,
+                                   k=min(k, np.shape(points)[0]))
+    out = np.array(out)   # writable host copy
+    out[iz, iy, ix] = np.asarray(fixed)
+    return jnp.asarray(out)
 
 
 def grid_weighted_interpolate(points, values, grid: Grid, k: int,
@@ -261,42 +312,31 @@ def grid_weighted_interpolate(points, values, grid: Grid, k: int,
 
     ``backend='pallas'`` routes IDW/sibson through the experimental fused
     Pallas kernel (see ``ops/pallas_grid_knn.py`` for its measured
-    trade-offs); 'xla' (default) is the production path."""
+    trade-offs); 'xla' (default) is the production path.
+
+    Degrades gracefully on pathologically clustered clouds: if no cell
+    resolution satisfies the block kernel's row-capacity bound (e.g. >1024
+    coincident points), the whole call routes through the exact generic
+    kNN path instead of failing (`RowCapacityError`)."""
     if backend == "pallas":
         from ptv_interpolation_tpu.ops.pallas_grid_knn import (
             pallas_grid_weighted_interpolate)
         return jnp.asarray(pallas_grid_weighted_interpolate(
             points, values, grid, k, mode=mode, power=power,
             margin_factor=margin_factor))
-    setup = _host_setup(points, values, grid, k, cells, cell_size, block,
-                        margin_factor)
+    try:
+        setup = _host_setup(points, values, grid, k, cells, cell_size, block,
+                            margin_factor)
+    except RowCapacityError:
+        queries = np.asarray(grid.flat_coords())
+        out = _generic_knn_fallback(points, values, queries, mode, power)
+        return jnp.asarray(out).reshape(grid.shape + (-1,))
     (cells, values_sorted, axes, margin, mc, row_len) = setup
     out, den = _grid_block_weighted_sum(cells, values_sorted, axes,
                                         jnp.float32(margin), k, tuple(block),
                                         grid.shape, mc, row_len, weight_fn,
                                         recall_target, group)
-    # far-field escape hatch: grid nodes whose candidate region holds no
-    # particles (strongly non-uniform clouds) would silently read 0 —
-    # recompute them exactly through the generic kNN path
-    empty = np.asarray(den == 0.0)
-    n_empty = int(empty.sum())
-    if n_empty:
-        from ptv_interpolation_tpu.interpolate.knn_weights import (
-            idw_interpolate, sibson_interpolate)
-        iz, iy, ix = np.nonzero(empty)
-        queries = np.stack([np.asarray(grid.x)[ix], np.asarray(grid.y)[iy],
-                            np.asarray(grid.z)[iz]], axis=-1).astype(np.float32)
-        if mode == "idw":
-            fixed = idw_interpolate(points, values, queries,
-                                    k=min(k, np.shape(points)[0]),
-                                    power=power)
-        else:
-            fixed = sibson_interpolate(points, values, queries,
-                                       k=min(k, np.shape(points)[0]))
-        out = np.array(out)   # writable host copy
-        out[iz, iy, ix] = np.asarray(fixed)
-        out = jnp.asarray(out)
-    return out
+    return repair_empty_nodes(out, den, points, values, grid, k, mode, power)
 
 
 def grid_knn_apply(points, values, grid: Grid, k: int, consume_fn: Callable,
@@ -323,10 +363,17 @@ def grid_knn_apply(points, values, grid: Grid, k: int, consume_fn: Callable,
                             group, needs_positions)
 
 
+class RowCapacityError(ValueError):
+    """No cell resolution can satisfy the block kernel's 1024-point
+    row-capacity bound (pathologically clustered / coincident points);
+    callers should route through the generic kNN path."""
+
+
 def _row_capacity(cells: CellList, mcx: int) -> int:
     """Static row capacity: max points in any ``mcx``-wide x-run of cells —
     the guaranteed-coverage bound shared by the grid and scatter kernels
-    (capped by the 1024-column sentinel padding of the sorted arrays)."""
+    (must stay within the 1024-column sentinel padding of the sorted
+    arrays; callers refine the cell size or fall back when it doesn't)."""
     ncx, ncy, ncz = cells.dims
     starts_np = np.asarray(cells.starts)
     row_counts = np.diff(starts_np.astype(np.int64)).reshape(ncz * ncy, ncx)
@@ -335,18 +382,20 @@ def _row_capacity(cells: CellList, mcx: int) -> int:
                            np.cumsum(row_counts, axis=1)], axis=1)
     windows = csum[:, w:] - csum[:, :-w] if ncx > w else csum[:, -1:]
     row_len = int(windows.max()) if windows.size else int(row_counts.max())
-    row_len = max(row_len, 1)
-    if row_len > 1024:
-        raise ValueError(
-            f"cell row capacity {row_len} exceeds the sorted-array padding; "
-            f"increase cell resolution or use the generic kNN path")
-    return row_len
+    return max(row_len, 1)
 
 
 def _host_setup(points, values, grid: Grid, k: int, cells, cell_size, block,
                 margin_factor):
     """Shared host-side setup: cell list, margin, static candidate-region
-    dimensions, row capacity, padded axes, and cell-sorted values."""
+    dimensions, row capacity, padded axes, and cell-sorted values.
+
+    On strongly clustered clouds (near-wall PTV seeding) the auto cell size
+    can put >1024 points in one candidate row; rather than failing, the
+    cell list is rebuilt at progressively finer resolution (a row's y/z
+    thickness is one cell, so capacity shrinks ~quadratically with the cell
+    edge). If refinement cannot help — e.g. >1024 coincident points —
+    :class:`RowCapacityError` is raised for callers to catch."""
     pts = np.asarray(points, np.float32)
     vals = np.asarray(values, np.float32)
     n = pts.shape[0]
@@ -370,11 +419,30 @@ def _host_setup(points, values, grid: Grid, k: int, cells, cell_size, block,
     margin = r_k * margin_factor
     dx, dy, dz = grid.spacing
     block_ext = (block[2] * dx, block[1] * dy, block[0] * dz)  # x, y, z
-    mc = tuple(
-        int(math.ceil((ext + 2.0 * margin) / cell_size)) + 1
-        for ext in (block_ext[2], block_ext[1], block_ext[0]))  # z, y, x
 
+    def region_dims(cs):
+        return tuple(
+            int(math.ceil((ext + 2.0 * margin) / cs)) + 1
+            for ext in (block_ext[0], block_ext[1], block_ext[2]))[::-1]
+
+    mc = region_dims(cell_size)
     row_len = _row_capacity(cells, mc[2])
+    for _ in range(6):
+        if row_len <= 1024:
+            break
+        # capacity ~ cell_size² (row thickness is one cell in y and z)
+        shrink = min(math.sqrt(1024.0 / row_len) * 0.9, 0.7)
+        cell_size = cell_size * shrink
+        if cell_size < 1e-9:
+            break
+        cells = build_cell_list(pts, cell_size=cell_size)
+        mc = region_dims(cell_size)
+        row_len = _row_capacity(cells, mc[2])
+    if row_len > 1024:
+        raise RowCapacityError(
+            f"cell row capacity {row_len} exceeds the sorted-array padding "
+            f"at every cell resolution tried — cloud too clustered for the "
+            f"block kernel; use the generic kNN path")
 
     # axes padded to block multiples (out-of-range queries are sliced away)
     def pad_axis(ax, b):
@@ -502,6 +570,26 @@ def scatter_knn_apply(points, values, queries, k: int, consume_fn: Callable,
 
     # block lattice over the query bbox, edge ≈ 2·margin
     block_edge = 2.0 * margin
+
+    # clustered-cloud refinement: shrink cells until the candidate-row
+    # capacity fits the 1024-row sentinel padding (capacity ~ cell_size²)
+    for _ in range(6):
+        mc_x = int(math.ceil((block_edge + 2 * margin) / cell_size)) + 1
+        row_len = _row_capacity(cells, mc_x)
+        if row_len <= 1024:
+            break
+        cell_size *= min(math.sqrt(1024.0 / row_len) * 0.9, 0.7)
+        if cell_size < 1e-9:
+            break
+        cells = build_cell_list(pts, cell_size=cell_size)
+    else:
+        row_len = _row_capacity(
+            cells, int(math.ceil((block_edge + 2 * margin) / cell_size)) + 1)
+    if row_len > 1024:
+        raise RowCapacityError(
+            f"cell row capacity {row_len} exceeds the sorted-array padding "
+            f"at every cell resolution tried — cloud too clustered for the "
+            f"scatter-block kernel; use the generic kNN path")
     q_lo = qrs.min(axis=0)
     dims = np.maximum(np.ceil((qrs.max(axis=0) - q_lo) / block_edge
                               ).astype(int), 1)

@@ -124,7 +124,7 @@ def sharded_grid_interpolate(points, values, grid: Grid, mesh: Mesh,
     from ptv_interpolation_tpu.interpolate.knn_weights import (
         _idw_panel_weights, _sibson_panel_weights)
     from ptv_interpolation_tpu.ops.grid_knn import (
-        _grid_block_weighted_sum, _host_setup)
+        _grid_block_weighted_sum, _host_setup, repair_empty_nodes)
 
     if method == "idw":
         weight_fn = _idw_panel_weights(float(power))
@@ -154,11 +154,14 @@ def sharded_grid_interpolate(points, values, grid: Grid, mesh: Mesh,
     slab_shape = (slab, grid.ny, grid.nx)
 
     def local(cells_l, vals_l, x_l, y_l, z_slab):
-        out, _den = _grid_block_weighted_sum(
+        out, den = _grid_block_weighted_sum(
             cells_l, vals_l, (x_l, y_l, z_slab[0]), jnp.float32(margin), k,
             tuple(block), slab_shape, mc, row_len, weight_fn,
             recall_target, group)
-        return out[None]
+        # carry the weight sums along so the far-field fallback (nodes with
+        # an empty candidate region) can run after the slabs recombine —
+        # multi-chip must match single-chip on clouds with void regions
+        return jnp.concatenate([out, den[..., None]], axis=-1)[None]
 
     cell_specs = jax.tree_util.tree_map(lambda _: P(), cells)
     fn = jax.shard_map(
@@ -166,8 +169,9 @@ def sharded_grid_interpolate(points, values, grid: Grid, mesh: Mesh,
         in_specs=(cell_specs, P(), P(), P(), P(axis_name)),
         out_specs=P(axis_name), check_vma=False)
     out = jax.jit(fn)(cells, values_sorted, x_ax, y_ax, z_slabs)
-    out = out.reshape(nz_pad, grid.ny, grid.nx, -1)
-    return out[: grid.nz]
+    out = out.reshape(nz_pad, grid.ny, grid.nx, -1)[: grid.nz]
+    return repair_empty_nodes(out[..., :-1], out[..., -1], points, values,
+                              grid, k, method, power)
 
 
 # ---------------------------------------------------------------------------

@@ -158,3 +158,52 @@ def test_sparse_neighborhoods_finite_and_exact():
     np.testing.assert_allclose(out, 5.0, rtol=1e-5)
     out_s = np.asarray(sibson_interpolate(pts, vals, q, k=30, cells=cells))
     np.testing.assert_allclose(out_s, 5.0, rtol=1e-5)
+
+
+def test_clustered_cloud_refines_instead_of_failing():
+    """Round-1 weak item: >1024 points in one candidate row used to raise
+    ValueError. Near-wall PTV clustering must auto-refine the cell list."""
+    rng = np.random.default_rng(7)
+    # 4000 points crammed into a thin near-wall sheet + a sparse bulk:
+    # the auto cell size (set by mean density) massively overflows the
+    # row capacity inside the sheet
+    sheet = rng.uniform([0, 0, 0], [16, 16, 0.05], size=(4000, 3))
+    bulk = rng.uniform([0, 0, 0], [16, 16, 16], size=(200, 3))
+    points = np.concatenate([sheet, bulk]).astype(np.float32)
+    values = np.stack([np.sin(points[:, 0]), np.cos(points[:, 1]),
+                       np.ones(len(points))], axis=-1).astype(np.float32)
+    grid = create_grid(((0, 17), (0, 17), (0, 17)), 8)
+    out = np.asarray(sibson_grid_interpolate(points, values, grid, k=12))
+    assert np.isfinite(out).all()
+    want = np.asarray(sibson_interpolate(
+        points, values, np.asarray(grid.flat_coords()), k=12))
+    close = np.isclose(out.reshape(-1, 3), want, rtol=1e-3, atol=1e-4)
+    assert close.mean() > 0.99
+
+
+def test_coincident_points_route_through_generic_path():
+    """>1024 coincident points: no cell refinement can help — the driver
+    must fall back to the generic kNN path, not crash."""
+    rng = np.random.default_rng(8)
+    dup = np.tile(np.float32([[4.0, 4.0, 4.0]]), (1500, 1))
+    bulk = rng.uniform(0, 8, size=(300, 3)).astype(np.float32)
+    points = np.concatenate([dup, bulk])
+    values = np.stack([points[:, 0], points[:, 1],
+                       np.ones(len(points), np.float32)], axis=-1)
+    grid = create_grid(((0, 9), (0, 9), (0, 9)), 8)
+    out = np.asarray(sibson_grid_interpolate(points, values, grid, k=8))
+    assert out.shape == grid.shape + (3,)
+    assert np.isfinite(out).all()
+
+
+def test_scatter_filter_survives_clustered_cloud():
+    from ptv_interpolation_tpu.filtering import knn_mad_mask_scatter
+    rng = np.random.default_rng(9)
+    sheet = rng.uniform([0, 0, 0], [16, 16, 0.05], size=(4000, 3))
+    bulk = rng.uniform([0, 0, 0], [16, 16, 16], size=(200, 3))
+    points = np.concatenate([sheet, bulk]).astype(np.float32)
+    values = np.stack([np.sin(points[:, 0]), np.cos(points[:, 1]),
+                       np.ones(len(points))], axis=-1).astype(np.float32)
+    keep, radius = knn_mad_mask_scatter(points, values, k=8)
+    assert keep.shape == (len(points),)
+    assert np.isfinite(radius)
