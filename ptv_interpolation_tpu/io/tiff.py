@@ -5,12 +5,16 @@ and ZCYX field stack output (`main.py:228-231`, `analyze_flow.py:339-341`).
 That package is not part of this image, so the framework ships its own small
 codec supporting exactly what the pipeline needs:
 
-* **read**: uncompressed (compression=1) baseline grayscale TIFFs, little- or
-  big-endian, 1/8/16/32/64-bit unsigned/signed/float samples, strip-based,
-  multi-page. Multi-page volumes stack to ``(n_pages, H, W)``; ImageJ
-  hyperstacks with ``channels=C`` reshape to ``(Z, C, H, W)``.
-* **write**: uncompressed multi-page grayscale from ``(Z, H, W)`` arrays, or
-  ImageJ-style ``(Z, C, H, W)`` hyperstacks (axes 'ZCYX'), uint8/16/float32.
+* **read**: baseline grayscale TIFFs, little- or big-endian, 1/8/16/32/64-bit
+  unsigned/signed/float samples, strip-based, multi-page; compression
+  none (1), LZW (5), deflate (8 / 32946 "old-style"), PackBits (32773) —
+  the schemes real tomography mask exports use — with horizontal-differencing
+  predictor (tag 317, value 2) support. Multi-page volumes stack to
+  ``(n_pages, H, W)``; ImageJ hyperstacks with ``channels=C`` reshape to
+  ``(Z, C, H, W)``.
+* **write**: multi-page grayscale from ``(Z, H, W)`` arrays, or ImageJ-style
+  ``(Z, C, H, W)`` hyperstacks (axes 'ZCYX'), uint8/16/float32;
+  uncompressed (default) or deflate (``compression='deflate'``).
 
 This is a host-side utility (numpy only) — TIFF parsing is pointer-chasing
 and irrelevant to TPU throughput.
@@ -19,6 +23,8 @@ and irrelevant to TPU throughput.
 from __future__ import annotations
 
 import struct
+import zlib
+
 import numpy as np
 
 # TIFF tag ids
@@ -33,7 +39,103 @@ _SAMPLESPERPIXEL = 277
 _ROWSPERSTRIP = 278
 _STRIPBYTECOUNTS = 279
 _PLANARCONFIG = 284
+_PREDICTOR = 317
 _SAMPLEFORMAT = 339
+
+
+def lzw_decode(data: bytes) -> bytes:
+    """TIFF-variant LZW decode (compression=5): MSB-first bit packing,
+    ClearCode=256, EOI=257, 9→12-bit codes with 'early change' width bumps
+    (at table sizes 510/1022/2046 per the TIFF 6.0 spec)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    table: list = []
+    width = 9
+    prev = None
+
+    bitbuf = 0
+    nbits = 0
+    pos = 0
+    n = len(data)
+
+    def reset():
+        nonlocal table, width, prev
+        table = [bytes((i,)) for i in range(256)] + [b"", b""]
+        width = 9
+        prev = None
+
+    reset()
+    while True:
+        while nbits < width:
+            if pos >= n:
+                return bytes(out)
+            bitbuf = (bitbuf << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        code = (bitbuf >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == CLEAR:
+            reset()
+            continue
+        if code == EOI:
+            return bytes(out)
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise IOError(f"corrupt LZW stream (code {code} > table size)")
+        out += entry
+        prev = entry
+        # early change: width grows one code before the table fills
+        if len(table) + 1 >= (1 << width) and width < 12:
+            width += 1
+
+
+def packbits_decode(data: bytes) -> bytes:
+    """PackBits RLE decode (compression=32773)."""
+    out = bytearray()
+    pos = 0
+    n = len(data)
+    while pos < n:
+        hdr = data[pos]
+        pos += 1
+        if hdr < 128:                      # literal run of hdr+1 bytes
+            out += data[pos: pos + hdr + 1]
+            pos += hdr + 1
+        elif hdr > 128:                    # repeat next byte 257-hdr times
+            if pos < n:
+                out += data[pos: pos + 1] * (257 - hdr)
+                pos += 1
+        # hdr == 128: no-op
+    return bytes(out)
+
+
+def _decompress(raw: bytes, compression: int, path: str) -> bytes:
+    if compression == 1:
+        return raw
+    if compression in (8, 32946):          # deflate / old-style deflate
+        return zlib.decompress(raw)
+    if compression == 5:
+        return lzw_decode(raw)
+    if compression == 32773:
+        return packbits_decode(raw)
+    raise IOError(f"{path}: compression {compression} not supported by the "
+                  f"built-in codec (supported: none, LZW, deflate, PackBits)")
+
+
+def _undo_predictor(page: np.ndarray, predictor: int) -> np.ndarray:
+    """Reverse horizontal differencing (predictor=2): cumulative sum along
+    each row in the sample's native integer width (modular arithmetic)."""
+    if predictor == 2:
+        return np.cumsum(page, axis=-1, dtype=page.dtype)
+    if predictor not in (1, None):
+        raise IOError(f"TIFF predictor {predictor} not supported")
+    return page
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8, 16: 8, 17: 8}
 _TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d", 16: "Q", 17: "q"}
@@ -97,16 +199,17 @@ def read_tiff(path: str) -> np.ndarray:
         compression = entries.get(_COMPRESSION, (1,))[0]
         spp = entries.get(_SAMPLESPERPIXEL, (1,))[0]
         fmt = entries.get(_SAMPLEFORMAT, (1,))[0]
-        if compression != 1:
-            raise IOError(f"{path}: compression {compression} not supported by the built-in codec")
         if spp != 1:
             raise IOError(f"{path}: {spp} samples/pixel not supported (grayscale only)")
         if description is None and _IMAGEDESCRIPTION in entries:
             description = entries[_IMAGEDESCRIPTION][0]
+        predictor = entries.get(_PREDICTOR, (1,))[0]
 
         offsets = entries[_STRIPOFFSETS]
         counts = entries[_STRIPBYTECOUNTS]
-        raw = b"".join(buf[o: o + c] for o, c in zip(offsets, counts))
+        # strips are compressed independently
+        raw = b"".join(_decompress(bytes(buf[o: o + c]), compression, path)
+                       for o, c in zip(offsets, counts))
 
         if bits == 1:
             unpacked = np.unpackbits(np.frombuffer(raw, np.uint8))
@@ -122,6 +225,7 @@ def read_tiff(path: str) -> np.ndarray:
             dt = np.dtype(dtype).newbyteorder(endian)
             page = np.frombuffer(raw, dt)[: height * width].reshape(height, width)
             page = page.astype(dtype)  # native byte order
+            page = _undo_predictor(page, predictor)
         pages.append(page)
 
     arr = pages[0] if len(pages) == 1 else np.stack(pages)
@@ -137,12 +241,15 @@ def read_tiff(path: str) -> np.ndarray:
     return arr
 
 
-def write_tiff(path: str, array: np.ndarray, imagej: bool = False, axes: str | None = None):
-    """Write a grayscale multi-page TIFF (uncompressed, little-endian).
+def write_tiff(path: str, array: np.ndarray, imagej: bool = False,
+               axes: str | None = None, compression: str | None = None):
+    """Write a grayscale multi-page TIFF (little-endian).
 
     ``(H, W)``, ``(Z, H, W)`` and ``(Z, C, H, W)`` arrays are supported;
     4D input is flattened page-wise and described as an ImageJ 'ZCYX'
     hyperstack, matching the reference's output contract (`main.py:228-231`).
+    ``compression``: None (default) or 'deflate'/'zlib' for zlib-compressed
+    strips (one strip per page).
     """
     arr = np.asarray(array)
     if arr.dtype == np.bool_:
@@ -195,24 +302,37 @@ def write_tiff(path: str, array: np.ndarray, imagej: bool = False, axes: str | N
     data_start = heap_start
     page_bytes = height * width * arr.dtype.itemsize
 
+    if compression in ("deflate", "zlib"):
+        comp_tag = 8
+        le_pages = pages.astype(pages.dtype.newbyteorder("<"), copy=False)
+        strips = [zlib.compress(le_pages[p].tobytes(), 6)
+                  for p in range(n_pages)]
+    elif compression is None:
+        comp_tag = 1
+        strips = None
+    else:
+        raise ValueError(f"unsupported write compression {compression!r}")
+    strip_sizes = ([len(s) for s in strips] if strips is not None
+                   else [page_bytes] * n_pages)
+    strip_starts = list(np.cumsum([data_start] + strip_sizes[:-1]))
+
     ifd_blobs = []
     for p in range(n_pages):
-        strip_offset = data_start + p * page_bytes
         entries = [
             (_IMAGEWIDTH, 4, (width,)),
             (_IMAGELENGTH, 4, (height,)),
             (_BITSPERSAMPLE, 3, (bits,)),
-            (_COMPRESSION, 3, (1,)),
+            (_COMPRESSION, 3, (comp_tag,)),
             (_PHOTOMETRIC, 3, (1,)),
         ]
         if description and p == 0:
             # count includes the trailing NUL; points into the shared heap
             entries.append((_IMAGEDESCRIPTION, 2, None))
         entries += [
-            (_STRIPOFFSETS, 4, (strip_offset,)),
+            (_STRIPOFFSETS, 4, (int(strip_starts[p]),)),
             (_SAMPLESPERPIXEL, 3, (1,)),
             (_ROWSPERSTRIP, 4, (height,)),
-            (_STRIPBYTECOUNTS, 4, (page_bytes,)),
+            (_STRIPBYTECOUNTS, 4, (int(strip_sizes[p]),)),
             (_SAMPLEFORMAT, 3, (sample_format,)),
         ]
         if description and p > 0:
@@ -232,7 +352,10 @@ def write_tiff(path: str, array: np.ndarray, imagej: bool = False, axes: str | N
 
     out += b"".join(ifd_blobs)
     out += desc_bytes
-    le = pages.astype(pages.dtype.newbyteorder("<"), copy=False)
-    out += le.tobytes()
+    if strips is not None:
+        out += b"".join(strips)
+    else:
+        le = pages.astype(pages.dtype.newbyteorder("<"), copy=False)
+        out += le.tobytes()
     with open(path, "wb") as f:
         f.write(out)
