@@ -148,13 +148,13 @@ def _grid_block_eval(cells: CellList, values_sorted, axes, margin, k: int,
 
 @functools.partial(jax.jit, static_argnames=(
     "k", "block", "grid_shape", "mc", "row_len", "weight_fn",
-    "recall_target", "group"))
+    "recall_target", "group", "exact_tau"))
 def _grid_block_weighted_sum(cells: CellList, values_sorted, axes, margin,
                              k: int, block: Tuple[int, int, int],
                              grid_shape: Tuple[int, int, int],
                              mc: Tuple[int, int, int], row_len: int,
                              weight_fn: Callable, recall_target: float,
-                             group: int):
+                             group: int, exact_tau: bool = False):
     """Weighted-sum fast path (IDW / sibson): selection-free reduction.
 
     ``approx_min_k`` is used only to find each query's k-th distance τ;
@@ -219,8 +219,14 @@ def _grid_block_weighted_sum(cells: CellList, values_sorted, axes, margin,
         d2 = jnp.sum((q[:, None, :] - cand_pts[None, :, :]) ** 2, axis=-1)
         d2 = jnp.where(valid_c[None, :], d2, _BIG)
 
-        sq_topk, _ = jax.lax.approx_min_k(d2, min(k, C),
-                                          recall_target=recall_target)
+        if exact_tau:
+            # exact k-th distance: the τ-threshold mask becomes exactly the
+            # true k-set (bar distance ties) and the sibson std/min stats
+            # match the reference's k-set statistics
+            sq_topk = -jax.lax.top_k(-d2, min(k, C))[0]
+        else:
+            sq_topk, _ = jax.lax.approx_min_k(d2, min(k, C),
+                                              recall_target=recall_target)
         tau2 = sq_topk[:, -1:]
         mask = (d2 <= tau2) & valid_c[None, :]
         d = jnp.sqrt(jnp.maximum(d2, 0.0))
@@ -306,7 +312,7 @@ def grid_weighted_interpolate(points, values, grid: Grid, k: int,
                               margin_factor: float = 1.45,
                               recall_target: float = 0.9, group: int = 8,
                               backend: str = "xla", mode: str = "sibson",
-                              power: float = 2.0):
+                              power: float = 2.0, exact_tau: bool = False):
     """Driver for the weighted-sum fast path (shares host setup with
     :func:`grid_knn_apply`).
 
@@ -335,7 +341,7 @@ def grid_weighted_interpolate(points, values, grid: Grid, k: int,
     out, den = _grid_block_weighted_sum(cells, values_sorted, axes,
                                         jnp.float32(margin), k, tuple(block),
                                         grid.shape, mc, row_len, weight_fn,
-                                        recall_target, group)
+                                        recall_target, group, exact_tau)
     return repair_empty_nodes(out, den, points, values, grid, k, mode, power)
 
 

@@ -46,6 +46,17 @@ def test_sibson_grid_matches_tile_path(problem):
     _assert_almost_all_close(got, want)
 
 
+def test_sibson_grid_exact_tau_matches_tile_path(problem):
+    """exact_tau replaces the approx_min_k τ estimate with the true k-th
+    distance: the τ-mask equals the exact k-set (bar ties) and the sibson
+    std/min statistics match the reference's k-set statistics."""
+    pts, vals, grid = problem
+    got = np.asarray(sibson_grid_interpolate(
+        pts, vals, grid, k=20, exact_tau=True)).reshape(-1, 3)
+    want = np.asarray(sibson_interpolate(pts, vals, grid.flat_coords(), k=20))
+    _assert_almost_all_close(got, want)
+
+
 def test_grid_knn_nonuniform_spacing_and_odd_shape():
     rng = np.random.default_rng(22)
     pts = rng.uniform(0, 20, size=(3000, 3)).astype(np.float32)
