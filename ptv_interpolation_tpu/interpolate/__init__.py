@@ -16,6 +16,7 @@ from ptv_interpolation_tpu.interpolate.rbf_global import (
     rbf_global_fit,
     rbf_global_interpolate,
 )
+from ptv_interpolation_tpu.interpolate.rbf_global_pcg import rbf_global_fit_pcg
 from ptv_interpolation_tpu.interpolate.rbf_local import rbf_local_interpolate
 
 __all__ = [
@@ -28,6 +29,7 @@ __all__ = [
     "rbf_local_interpolate",
     "GlobalRBF",
     "rbf_global_fit",
+    "rbf_global_fit_pcg",
     "rbf_global_evaluate",
     "rbf_global_interpolate",
 ]

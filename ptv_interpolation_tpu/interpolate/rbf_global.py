@@ -119,8 +119,26 @@ def rbf_global_evaluate(model: GlobalRBF, queries, query_tile: int = 1024):
     return map_query_tiles(tile, queries, query_tile)
 
 
-def rbf_global_interpolate(points, values, queries, **kwargs):
-    """Fit + evaluate in one call."""
+#: above this point count the dense O(N²)-memory Cholesky path is replaced
+#: by the matrix-free projected PCG (rbf_global_pcg.py)
+DENSE_FIT_MAX = 20_000
+
+
+def rbf_global_interpolate(points, values, queries, solver: str = "auto",
+                           **kwargs):
+    """Fit + evaluate in one call.
+
+    ``solver``: 'dense' (O(N²) Cholesky/LU, fastest for small N), 'pcg'
+    (matrix-free projected PCG, N ~ 10⁵ on one chip), or 'auto' (dense
+    below ``DENSE_FIT_MAX`` points, pcg above)."""
+    import numpy as np
     query_tile = kwargs.pop("query_tile", 1024)
-    model = rbf_global_fit(points, values, **kwargs)
+    if solver == "auto":
+        solver = "dense" if np.shape(points)[0] <= DENSE_FIT_MAX else "pcg"
+    if solver == "pcg":
+        from ptv_interpolation_tpu.interpolate.rbf_global_pcg import (
+            rbf_global_fit_pcg)
+        model = rbf_global_fit_pcg(points, values, **kwargs)
+    else:
+        model = rbf_global_fit(points, values, **kwargs)
     return rbf_global_evaluate(model, queries, query_tile=query_tile)
