@@ -61,8 +61,14 @@ class AnalyzeConfig:
     verbose: bool = True
 
 
-def run_analysis(config: AnalyzeConfig, field=None):
-    """Run the analysis pipeline; returns (results dict, stats-log lines)."""
+def run_analysis(config: AnalyzeConfig, field=None, timings=None):
+    """Run the analysis pipeline; returns (results dict, stats-log lines).
+
+    ``timings``: optional :class:`ptv_interpolation_tpu.utils.StageTimings`
+    collecting per-stage wall-clock (used by the profiling harness)."""
+    from ptv_interpolation_tpu.utils import StageTimings
+    if timings is None:
+        timings = StageTimings()
     stats_log: list[str] = []
 
     def log(msg: str):
@@ -114,6 +120,16 @@ def run_analysis(config: AnalyzeConfig, field=None):
     dy = y[1] - y[0] if len(y) > 1 else config.voxel_size
     dz = z[1] - z[0] if len(z) > 1 else config.voxel_size
 
+    # Push the (scaled) fields to device once (f32) and feed every compute
+    # stage the same device arrays: re-transferring f64 numpy per stage
+    # costs seconds on tunneled backends. Host f64 copies are kept for the
+    # printed stats (reference parity) and the TIFF/NPZ outputs.
+    import jax.numpy as jnp
+    uj = jnp.asarray(u, jnp.float32)
+    vj = jnp.asarray(v, jnp.float32)
+    wj = jnp.asarray(w, jnp.float32)
+    mj = None if mask is None else jnp.asarray(mask)
+
     speed = np.sqrt(u ** 2 + v ** 2 + w ** 2)
     valid = speed[mask] if mask is not None else speed
     log("\n--- Flow Field Statistics (Physical SI Units) ---")
@@ -140,43 +156,50 @@ def run_analysis(config: AnalyzeConfig, field=None):
     strain_rate = None
     if config.strain_rate or config.dissipation:
         log("\n=== Computing Strain Rate ===")
-        strain_rate = np.asarray(compute_strain_rate(u, v, w, dx, dy, dz, mask))
+        with timings.stage("strain_rate"):
+            strain_rate = np.asarray(compute_strain_rate(uj, vj, wj, dx, dy, dz, mj))
         results["strain_rate"] = strain_rate
         log(f"  Mean: {(strain_rate[mask] if mask is not None else strain_rate).mean():.4e} 1/s")
         log(f"  Max:  {strain_rate.max():.4e} 1/s")
         if config.save_tiffs:
-            write_tiff(f"{basename}_strain.tif", strain_rate.astype(np.float32))
+            with timings.stage("tiff_io"):
+                write_tiff(f"{basename}_strain.tif", strain_rate.astype(np.float32))
 
     dissipation = None
     if config.dissipation:
         log("\n=== Computing Viscous Dissipation ===")
-        dissipation = np.asarray(compute_viscous_dissipation(
-            strain_rate, config.viscosity, dx, dy, dz, mask))
+        with timings.stage("dissipation"):
+            dissipation = np.asarray(compute_viscous_dissipation(
+                strain_rate, config.viscosity, dx, dy, dz, mask))
         results["dissipation"] = dissipation
         results["viscosity"] = config.viscosity
         vd = dissipation[mask] if mask is not None else dissipation
         log(f"  Mean: {vd.mean():.6e} W/m³")
         log(f"  Total dissipation: {vd.sum() * dx * dy * dz:.6e} W")
         if config.save_tiffs:
-            write_tiff(f"{basename}_dissipation.tif", dissipation.astype(np.float32))
+            with timings.stage("tiff_io"):
+                write_tiff(f"{basename}_dissipation.tif", dissipation.astype(np.float32))
 
     vorticity_magnitude = None
     if config.vorticity:
         log("\n=== Computing Vorticity ===")
-        vorticity_magnitude = np.asarray(compute_vorticity(u, v, w, dx, dy, dz, mask))
+        with timings.stage("vorticity"):
+            vorticity_magnitude = np.asarray(compute_vorticity(uj, vj, wj, dx, dy, dz, mj))
         results["vorticity_magnitude"] = vorticity_magnitude
         log(f"  Mean: {(vorticity_magnitude[mask] if mask is not None else vorticity_magnitude).mean():.4e} 1/s")
         if config.save_tiffs:
-            write_tiff(f"{basename}_vorticity.tif",
-                       vorticity_magnitude.astype(np.float32))
+            with timings.stage("tiff_io"):
+                write_tiff(f"{basename}_vorticity.tif",
+                           vorticity_magnitude.astype(np.float32))
 
     pressure = None
     if config.pressure:
         log("\n=== Recovering Pressure Field ===")
-        pressure = np.asarray(compute_pressure_field(
-            u, v, w, dx, dy, dz, config.viscosity, config.rho, mask,
-            wall_bc=config.pressure_wall_bc, anchor=config.pressure_anchor,
-            flow_direction=config.flow_direction, verbose=config.verbose))
+        with timings.stage("pressure"):
+            pressure = np.asarray(compute_pressure_field(
+                uj, vj, wj, dx, dy, dz, config.viscosity, config.rho, mj,
+                wall_bc=config.pressure_wall_bc, anchor=config.pressure_anchor,
+                flow_direction=config.flow_direction, verbose=config.verbose))
         results["pressure"] = pressure
         vp = pressure[mask] if mask is not None else pressure
         log(f"  Pressure Range: [{vp.min():.4e}, {vp.max():.4e}] Pa")
@@ -193,19 +216,20 @@ def run_analysis(config: AnalyzeConfig, field=None):
             else:
                 log(f"  ΔP_{name}: N/A (Solid boundary)")
         if config.save_tiffs:
-            write_tiff(f"{basename}_pressure.tif", pressure.astype(np.float32))
+            with timings.stage("tiff_io"):
+                write_tiff(f"{basename}_pressure.tif", pressure.astype(np.float32))
 
     if config.permeability_dissipation or config.permeability_pressure:
         log("\n=== Estimating Permeability ===")
         k_diss = None
         if config.permeability_dissipation and dissipation is not None:
             k_diss = float(compute_permeability(
-                u, v, w, dissipation, config.viscosity, dx, dy, dz, mask))
+                uj, vj, wj, dissipation, config.viscosity, dx, dy, dz, mj))
             results["permeability_dissipation"] = k_diss
             log(f"  From Energy Dissipation (k_diss): {k_diss:.6e} m²")
         if config.permeability_pressure and pressure is not None:
             k_press = float(compute_permeability_from_pressure(
-                u, v, w, pressure, config.viscosity, dx, dy, dz))
+                uj, vj, wj, pressure, config.viscosity, dx, dy, dz))
             results["permeability_pressure"] = k_press
             log(f"  From Pressure Gradient (k_press):  {k_press:.6e} m²")
             if k_diss:
@@ -242,11 +266,12 @@ def run_analysis(config: AnalyzeConfig, field=None):
                 background_mask = None
             else:
                 background_mask = background_mask > 0
-        drag_results = compute_interface_drag(
-            u, v, w, pressure, config.viscosity, dx, dy, dz, drag_mask,
-            labels=config.drag_labels, method=config.drag_method,
-            mesh_step=config.drag_mesh_step, volume=total_volume,
-            background_mask=background_mask)
+        with timings.stage("drag"):
+            drag_results = compute_interface_drag(
+                uj, vj, wj, pressure, config.viscosity, dx, dy, dz, drag_mask,
+                labels=config.drag_labels, method=config.drag_method,
+                mesh_step=config.drag_mesh_step, volume=total_volume,
+                background_mask=background_mask)
         results["drag"] = drag_results
         if not drag_results:
             log("  No interfaces found or labels not present.")

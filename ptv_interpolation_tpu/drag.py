@@ -245,7 +245,10 @@ def compute_interface_drag_mesh(u, v, w, pressure, viscosity, dx, dy, dz,
             jnp.asarray(tri_areas, jnp.float32),
             jnp.asarray(delta_phys, jnp.float32),
             jnp.float32(viscosity), jnp.asarray(has_bg))
-        r = {k: float(val) for k, val in out.items()}
+        # one batched device_get: per-scalar float() pulls are ~40 separate
+        # host round-trips (seconds over a tunneled backend)
+        out_np = jax.device_get(out)
+        r = {k: float(val) for k, val in out_np.items()}
         for cname in "xyz":
             r[f"F{cname}"] = r[f"F{cname}_v"] + r[f"F{cname}_p"]
         if volume:
