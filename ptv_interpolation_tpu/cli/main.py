@@ -44,6 +44,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Number of neighbors for IDW")
     p.add_argument("--sibson-neighbors", type=int, default=30,
                    help="Number of neighbors for Sibson interpolation")
+    p.add_argument("--cubic-fallback", action="store_true",
+                   help="method=cubic is 2D-only in scipy griddata; opt in "
+                        "to the documented 3D substitute (rbf kernel=cubic)")
     p.add_argument("--boundary-particles", action="store_true",
                    help="Add virtual zero-velocity particles at the fluid-solid interface.")
     p.add_argument("--boundary-sampling", type=int, default=1,
@@ -82,6 +85,7 @@ def main(argv=None):
         smoothing=args.smoothing, idw_power=args.idw_power,
         idw_neighbors=args.idw_neighbors,
         sibson_neighbors=args.sibson_neighbors,
+        cubic_fallback=args.cubic_fallback,
         boundary_particles=args.boundary_particles,
         boundary_sampling=args.boundary_sampling,
         boundary_thickness=args.boundary_thickness,

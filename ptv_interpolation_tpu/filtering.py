@@ -119,10 +119,18 @@ def _mad_consume(k: int, threshold: float):
     return consume
 
 
-def knn_mad_mask_scatter(points, values, k: int = 25, threshold: float = 3.0):
+def knn_mad_mask_scatter(points, values, k: int = 25, threshold: float = 3.0,
+                         **kwargs):
     """At-scale kNN-MAD decisions via the scatter-block kernel
     (ops/grid_knn.py): O(k) candidates per point instead of the
-    gather-bound generic path."""
+    gather-bound generic path.
+
+    Keep/drop decisions are robust to the approximate top-k (the MAD
+    statistics barely move when a far neighbor is swapped in): at the
+    default ``recall_target=0.95`` decisions match ``exact_topk=True`` on
+    ≥99.9% of points (characterized in tests/test_filtering.py and
+    BASELINE.md). ``kwargs`` (``exact_topk``, ``recall_target``, ...)
+    forward to :func:`scatter_knn_apply`."""
     from ptv_interpolation_tpu.ops.grid_knn import scatter_knn_apply
 
     pts = np.asarray(points, np.float32)
@@ -130,7 +138,7 @@ def knn_mad_mask_scatter(points, values, k: int = 25, threshold: float = 3.0):
     speed = np.sqrt((v * v).sum(axis=-1, keepdims=True))
     out = scatter_knn_apply(pts, speed, pts, k + 1,
                             _mad_consume(int(k), float(threshold)),
-                            out_dim=2)
+                            out_dim=2, **kwargs)
     keep = out[:, 0] > 0.5
     radius = float(np.median(out[:, 1]))
     return keep, radius

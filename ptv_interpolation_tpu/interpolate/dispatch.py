@@ -6,7 +6,8 @@ One call serving the six methods of the reference dispatcher
   linear   — Delaunay barycentric (host Qhull topology + device eval)
   nearest  — kNN k=1 on device
   cubic    — unsupported in 3D (scipy's griddata 'cubic' is 2D-only; the
-             reference would raise from Qhull too). Raises with guidance.
+             reference would raise from Qhull too). Raises with guidance,
+             or serves local RBF kernel='cubic' under cubic_fallback=True.
   rbf      — local kNN RBF (batched small solves); `neighbors=None` escalates
              to the global dense solve
   idw      — inverse-distance weighting
@@ -45,10 +46,25 @@ def interpolate_values(points, values, queries, method: str = "linear",
                        sibson_neighbors: int = 30,
                        cells: CellList | None = None,
                        neighbor_method: str = "auto",
-                       rings: int = 1, verbose: bool = False):
+                       rings: int = 1, verbose: bool = False,
+                       cubic_fallback: bool = False):
     """Interpolate scattered ``values`` (N, C) onto ``queries`` (Q, 3)."""
     n_pts = int(np.asarray(points).shape[0])
     n_q = int(np.asarray(queries).shape[0])
+
+    def make_progress():
+        # the reference prints per-chunk progress during long RBF
+        # evaluations (interpolator.py:192-193); mirror it at ~10% steps
+        if not verbose or n_q < 500_000:
+            return None
+        last = [0]
+
+        def report(done, total):
+            pct = done * 10 // total
+            if pct > last[0]:
+                last[0] = pct
+                print(f"  Interpolated {done}/{total} points...", flush=True)
+        return report
 
     def get_cells(k):
         nonlocal cells
@@ -78,7 +94,8 @@ def interpolate_values(points, values, queries, method: str = "linear",
                 print(f"Using global RBF ({rbf_kernel}), dense solve over {n_pts} points...")
             return rbf_global_interpolate(points, values, queries,
                                           kernel=rbf_kernel,
-                                          smoothing=smoothing, epsilon=epsilon)
+                                          smoothing=smoothing, epsilon=epsilon,
+                                          progress=make_progress())
         if verbose:
             print(f"Using RBF Interpolation ({rbf_kernel}) with {rbf_neighbors} "
                   f"neighbors, smoothing={smoothing}...")
@@ -86,17 +103,29 @@ def interpolate_values(points, values, queries, method: str = "linear",
         return rbf_local_interpolate(points, values, queries, k=k,
                                      kernel=rbf_kernel, smoothing=smoothing,
                                      epsilon=epsilon, cells=get_cells(k),
-                                     rings=rings)
+                                     rings=rings, progress=make_progress())
     if method == "nearest":
         return nearest_interpolate(points, values, queries,
                                    cells=get_cells(1), rings=rings)
     if method == "linear":
         return linear_interpolate(points, values, queries, fill_value=0.0)
     if method == "cubic":
+        # scipy's griddata 'cubic' is 2D-only (the reference dispatcher at
+        # interpolator.py:196-197 would raise from Qhull too on 3D data).
+        # With cubic_fallback=True we serve the documented substitute — a
+        # local RBF with the cubic kernel, a smooth C² 3D interpolant.
+        if cubic_fallback:
+            if verbose:
+                print("method='cubic': serving local RBF (kernel='cubic') "
+                      "as the 3D substitute...")
+            k = min(rbf_neighbors or 20, n_pts)
+            return rbf_local_interpolate(points, values, queries, k=k,
+                                         kernel="cubic", smoothing=smoothing,
+                                         cells=get_cells(k), rings=rings)
         raise ValueError(
             "method='cubic' is 2D-only in scipy's griddata and unsupported "
-            "in 3D here as well — use 'rbf' (kernel='cubic') for a smooth "
-            "3D interpolant.")
+            "in 3D here as well — pass cubic_fallback=True (CLI: "
+            "--cubic-fallback) to serve rbf kernel='cubic' instead.")
     raise ValueError(f"unknown interpolation method {method!r}")
 
 

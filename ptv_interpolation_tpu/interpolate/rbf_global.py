@@ -98,10 +98,24 @@ def rbf_global_fit(points, values, kernel: str = "thin_plate_spline",
                      epsilon=float(epsilon), degree=int(degree))
 
 
-@functools.partial(jax.jit, static_argnames=("query_tile",))
-def rbf_global_evaluate(model: GlobalRBF, queries, query_tile: int = 1024):
+def rbf_global_evaluate(model: GlobalRBF, queries, query_tile: int = 1024,
+                        progress=None):
     """Evaluate a fitted model at (Q, 3) queries → (Q, C). Tiled (T, N)
-    kernel blocks keep HBM bounded while the matmuls ride the MXU."""
+    kernel blocks keep HBM bounded while the matmuls ride the MXU.
+    ``progress`` (host callback ``fn(done, total)``) switches to host-level
+    macro-batches with per-batch reporting."""
+    if progress is None:
+        return _rbf_global_evaluate_jit(model, queries, query_tile)
+    return _rbf_global_evaluate_impl(model, queries, query_tile, progress)
+
+
+@functools.partial(jax.jit, static_argnames=("query_tile",))
+def _rbf_global_evaluate_jit(model: GlobalRBF, queries, query_tile):
+    return _rbf_global_evaluate_impl(model, queries, query_tile, None)
+
+
+def _rbf_global_evaluate_impl(model: GlobalRBF, queries, query_tile,
+                              progress):
     def tile(q_tile):
         qs = (q_tile - model.shift) / model.scale
         r = jnp.sqrt(jnp.maximum(jnp.sum(
@@ -116,7 +130,7 @@ def rbf_global_evaluate(model: GlobalRBF, queries, query_tile: int = 1024):
                                 preferred_element_type=jnp.float32)
         return out
 
-    return map_query_tiles(tile, queries, query_tile)
+    return map_query_tiles(tile, queries, query_tile, progress=progress)
 
 
 #: above this point count the dense O(N²)-memory Cholesky path is replaced
@@ -133,6 +147,7 @@ def rbf_global_interpolate(points, values, queries, solver: str = "auto",
     below ``DENSE_FIT_MAX`` points, pcg above)."""
     import numpy as np
     query_tile = kwargs.pop("query_tile", 1024)
+    progress = kwargs.pop("progress", None)
     if solver == "auto":
         solver = "dense" if np.shape(points)[0] <= DENSE_FIT_MAX else "pcg"
     if solver == "pcg":
@@ -141,4 +156,5 @@ def rbf_global_interpolate(points, values, queries, solver: str = "auto",
         model = rbf_global_fit_pcg(points, values, **kwargs)
     else:
         model = rbf_global_fit(points, values, **kwargs)
-    return rbf_global_evaluate(model, queries, query_tile=query_tile)
+    return rbf_global_evaluate(model, queries, query_tile=query_tile,
+                               progress=progress)

@@ -119,26 +119,46 @@ def rbf_local_grid_interpolate(points, values, grid, k: int = 20,
                           **kwargs)
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "k", "kernel", "degree", "rings", "query_tile", "point_chunk"))
 def rbf_local_interpolate(points, values, queries, k: int = 20,
                           kernel: str = "thin_plate_spline",
                           smoothing: float = 0.0, epsilon: float = 1.0,
                           degree: int | None = None,
                           cells: CellList | None = None, rings: int = 1,
-                          query_tile: int = 256, point_chunk: int = 4096):
+                          query_tile: int = 256, point_chunk: int = 4096,
+                          progress=None):
     """Evaluate a k-neighbor local RBF model of ``values`` (N, C) at
     ``queries`` (Q, 3). Returns (Q, C).
 
     Parameters mirror the reference CLI: ``k`` = --rbf-neighbors,
     ``kernel`` = --rbf-kernel, ``smoothing`` = --smoothing
-    (`main.py:34-36`).
+    (`main.py:34-36`). ``progress`` (a host callback ``fn(done, total)``)
+    routes through host-level macro-batches instead of the one-shot jit.
     """
-    points = jnp.asarray(points, jnp.float32)
-    values = jnp.asarray(values, jnp.float32)
     if degree is None:
         # scipy default: the kernel's minimum degree, or 0 when unrestricted
         degree = max(MIN_DEGREE[kernel], 0)
+    if progress is None:
+        return _rbf_local_jit(points, values, queries, k, kernel, smoothing,
+                              epsilon, degree, cells, rings, query_tile,
+                              point_chunk)
+    return _rbf_local_impl(points, values, queries, k, kernel, smoothing,
+                           epsilon, degree, cells, rings, query_tile,
+                           point_chunk, progress)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "k", "kernel", "degree", "rings", "query_tile", "point_chunk"))
+def _rbf_local_jit(points, values, queries, k, kernel, smoothing, epsilon,
+                   degree, cells, rings, query_tile, point_chunk):
+    return _rbf_local_impl(points, values, queries, k, kernel, smoothing,
+                           epsilon, degree, cells, rings, query_tile,
+                           point_chunk, None)
+
+
+def _rbf_local_impl(points, values, queries, k, kernel, smoothing, epsilon,
+                    degree, cells, rings, query_tile, point_chunk, progress):
+    points = jnp.asarray(points, jnp.float32)
+    values = jnp.asarray(values, jnp.float32)
     m = n_poly_terms(degree)
     n_ch = values.shape[1]
 
@@ -154,4 +174,4 @@ def rbf_local_interpolate(points, values, queries, k: int = 20,
         return _local_rbf_solve_tile(q_tile, sq, xi, fi, valid, k, kernel,
                                      smoothing, epsilon, degree, m, n_ch)
 
-    return map_query_tiles(tile, queries, query_tile)
+    return map_query_tiles(tile, queries, query_tile, progress=progress)

@@ -65,19 +65,48 @@ def _pad_rows(a: jax.Array, multiple: int, fill) -> Tuple[jax.Array, int]:
     return jnp.pad(a, pad_width, constant_values=fill), n
 
 
-def map_query_tiles(tile_fn, queries: jax.Array, query_tile: int):
+def map_query_tiles(tile_fn, queries: jax.Array, query_tile: int,
+                    progress=None, batch_tiles: int = 64):
     """Pad ``queries`` to a multiple of ``query_tile``, ``lax.map`` ``tile_fn``
     over (T, 3) tiles, and unpad every leaf of the result pytree.
 
     This is the composition point that lets downstream consumers (IDW
     weights, MAD statistics, RBF local solves) fuse into the same tile loop
     as the neighbor search instead of materializing (Q, k) intermediates.
+
+    ``progress``: optional ``fn(done_queries, total_queries)`` callback —
+    the evaluation then runs as host-level macro-batches of ``batch_tiles``
+    tiles (one compile, reused), reporting between batches. This serves the
+    role of the reference's chunked progress printing
+    (`/root/reference/interpolator.py:185-193`); the default single
+    ``lax.map`` dispatch is unchanged when ``progress`` is None.
     """
     queries = jnp.asarray(queries, jnp.float32)
     n_queries = queries.shape[0]
     qrs, _ = _pad_rows(queries, query_tile, 0.0)
     tiles = qrs.reshape(-1, query_tile, 3)
-    out = jax.lax.map(tile_fn, tiles)
+
+    if progress is not None and tiles.shape[0] > batch_tiles:
+        batched = jax.jit(lambda ts: jax.lax.map(tile_fn, ts))
+        n_tiles = tiles.shape[0]
+        n_full = n_tiles // batch_tiles * batch_tiles
+        outs = []
+        for start in range(0, n_full, batch_tiles):
+            outs.append(batched(tiles[start:start + batch_tiles]))
+            progress(min((start + batch_tiles) * query_tile, n_queries),
+                     n_queries)
+        if n_full < n_tiles:   # ragged tail: pad to the batch shape
+            tail = tiles[n_full:]
+            pad = batch_tiles - tail.shape[0]
+            tail = jnp.pad(tail, ((0, pad), (0, 0), (0, 0)))
+            tail_out = jax.tree_util.tree_map(
+                lambda leaf: leaf[:n_tiles - n_full], batched(tail))
+            outs.append(tail_out)
+            progress(n_queries, n_queries)
+        out = jax.tree_util.tree_map(
+            lambda *leaves: jnp.concatenate(leaves, axis=0), *outs)
+    else:
+        out = jax.lax.map(tile_fn, tiles)
     return jax.tree_util.tree_map(
         lambda leaf: leaf.reshape(-1, *leaf.shape[2:])[:n_queries], out)
 

@@ -57,6 +57,7 @@ class PipelineConfig:
     idw_power: float = 2.0
     idw_neighbors: int = 50
     sibson_neighbors: int = 30
+    cubic_fallback: bool = False
     boundary_particles: bool = False
     boundary_sampling: int = 1
     boundary_thickness: int = 1
@@ -228,7 +229,8 @@ def _run_pipeline_stages(config: PipelineConfig, cloud, mask_raw,
             rbf_neighbors=config.rbf_neighbors, rbf_kernel=config.rbf_kernel,
             smoothing=config.smoothing, idw_power=config.idw_power,
             idw_neighbors=config.idw_neighbors,
-            sibson_neighbors=config.sibson_neighbors, verbose=v)
+            sibson_neighbors=config.sibson_neighbors,
+            cubic_fallback=config.cubic_fallback, verbose=v)
         U = np.nan_to_num(np.asarray(U))
         V = np.nan_to_num(np.asarray(V))
         W = np.nan_to_num(np.asarray(W))

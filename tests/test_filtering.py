@@ -77,6 +77,25 @@ def test_scatter_filter_matches_bruteforce():
     assert abs(len(a) - len(b)) <= max(2, int(0.002 * len(cloud)))
 
 
+def test_scatter_mad_recall_vs_exact_decisions():
+    """The approx top-k recall target is a binary-decision knob here: a
+    wrong neighbor set could silently delete good tracks. Characterize it:
+    at recall_target=0.95 the keep/drop decisions must match exact_topk on
+    >=99.9% of points, and every planted gross outlier must drop in both.
+    (The 500k-scale TPU run of the same comparison is recorded in
+    BASELINE.md.)"""
+    from ptv_interpolation_tpu.filtering import knn_mad_mask_scatter
+    cloud, out_idx = _make_cloud(n=60_000, n_outliers=300, seed=11)
+    keep_a, _ = knn_mad_mask_scatter(cloud.points, cloud.values, k=25,
+                                     recall_target=0.95)
+    keep_e, _ = knn_mad_mask_scatter(cloud.points, cloud.values, k=25,
+                                     exact_topk=True)
+    agree = (keep_a == keep_e).mean()
+    assert agree >= 0.999, f"decision agreement {agree:.5f}"
+    assert not keep_a[out_idx].any()
+    assert not keep_e[out_idx].any()
+
+
 def test_scatter_mad_mask_parity():
     from ptv_interpolation_tpu.filtering import knn_mad_mask_scatter
     cloud, out_idx = _make_cloud(n=4000)

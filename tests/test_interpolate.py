@@ -152,6 +152,36 @@ def test_cubic_raises():
                           method="cubic")
 
 
+def test_cubic_fallback_serves_cubic_rbf(scattered, queries):
+    """Explicit opt-in: method='cubic' + cubic_fallback=True serves the
+    documented 3D substitute (local RBF, kernel='cubic')."""
+    pts, vals = scattered
+    from ptv_interpolation_tpu.interpolate import interpolate_values
+    got = np.asarray(interpolate_values(pts, vals, queries, method="cubic",
+                                        cubic_fallback=True))
+    want = np.asarray(rbf_local_interpolate(pts, vals, queries, k=20,
+                                            kernel="cubic"))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_rbf_progress_callback_reports_and_matches(scattered):
+    """The host-batched progress path (reference interpolator.py:185-193
+    chunked progress) must report monotonically to completion and return
+    bit-comparable results to the one-shot jit path."""
+    pts, vals = scattered
+    rng = np.random.default_rng(44)
+    q = rng.uniform(1, 9, size=(20_000, 3)).astype(np.float32)
+    calls = []
+    got = np.asarray(rbf_local_interpolate(
+        pts, vals, q, k=8, query_tile=256, point_chunk=2048,
+        progress=lambda d, t: calls.append((d, t))))
+    want = np.asarray(rbf_local_interpolate(pts, vals, q, k=8,
+                                            query_tile=256, point_chunk=2048))
+    assert calls and calls[-1][0] == 20_000
+    assert [c[0] for c in calls] == sorted(c[0] for c in calls)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
 def test_interpolators_recover_analytic_cylinder_flow():
     """All kNN methods must reconstruct the analytic potential flow past
     two cylinders from scattered samples (the reference's cylinder fixture

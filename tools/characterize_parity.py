@@ -130,6 +130,9 @@ def main():
         ("recall=0.99", dict(recall_target=0.99)),
         ("exact-tau  ", dict(exact_tau=True)),
     ]
+    if len(sys.argv) > 1:   # select configs by index, e.g. "0 1"
+        sel = [int(a) for a in sys.argv[1:]]
+        configs = [configs[i] for i in sel]
     rows = []
     for name, extra in configs:
         kw = dict(k=K, group=8, block=(4, 8, 16), **extra)
