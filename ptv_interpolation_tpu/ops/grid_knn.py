@@ -227,7 +227,21 @@ def _grid_block_weighted_sum(cells: CellList, values_sorted, axes, margin,
         else:
             sq_topk, _ = jax.lax.approx_min_k(d2, min(k, C),
                                               recall_target=recall_target)
-        tau2 = sq_topk[:, -1:]
+        # exact coverage sentinel: the candidate region contains every cloud
+        # point within `margin` of any query in the block (guaranteed-radius
+        # property), so counting candidates inside the margin counts ALL
+        # cloud points inside it — covered ⟺ true k-th distance ≤ margin,
+        # independent of approx_min_k recall. (A τ-based sentinel is wrong
+        # at recall<1: the approx k-th distance overshoots the true one and
+        # falsely flagged ~10% of the 256³/1M bench nodes, flooding
+        # repair_empty_nodes with brute-force work.)
+        m2 = margin * margin
+        covered = (jnp.sum((d2 <= m2).astype(jnp.int32), axis=1,
+                           keepdims=True) >= min(k, C))
+        # when covered, the true k-th distance ≤ margin, so clamping the
+        # (overshooting) approx τ to the margin keeps every true neighbor
+        # while cutting the spurious far tail out of the weight mask
+        tau2 = jnp.minimum(sq_topk[:, -1:], jnp.where(covered, m2, _BIG))
         mask = (d2 <= tau2) & valid_c[None, :]
         d = jnp.sqrt(jnp.maximum(d2, 0.0))
         w = jnp.where(mask, weight_fn(d, mask, sq_topk), 0.0)
@@ -237,13 +251,10 @@ def _grid_block_weighted_sum(cells: CellList, values_sorted, axes, margin,
         num = jnp.stack([jnp.sum(w * cand_vals[None, :, c], axis=1)
                          for c in range(V)], axis=1)
         den = jnp.sum(w, axis=1, keepdims=True)
-        # coverage sentinel: the candidate region only guarantees the true
-        # k-set when the k-th candidate lies within the kNN margin of the
-        # query (guaranteed-radius property). Zero the den channel for
-        # uncovered queries — sparse/void neighborhoods on non-uniform
-        # clouds and domain edge/corner nodes (~0.1% on uniform clouds) —
-        # so repair_empty_nodes recomputes them through the exact path.
-        covered = tau2 <= margin * margin
+        # zero the den channel for uncovered queries — sparse/void
+        # neighborhoods on non-uniform clouds and domain edge/corner nodes
+        # (~0.1% on uniform clouds) — so repair_empty_nodes recomputes them
+        # through the exact path.
         return jnp.concatenate(
             [num / jnp.maximum(den, 1e-37),
              jnp.where(covered, den, 0.0)], axis=1)
@@ -291,16 +302,35 @@ def repair_empty_nodes(out, den, points, values, grid: Grid, k: int,
     from ptv_interpolation_tpu.interpolate.knn_weights import (
         idw_interpolate, sibson_interpolate)
     iz, iy, ix = np.nonzero(empty)
+    n_fix = len(iz)
+    if n_fix > 0.01 * empty.size:
+        print(f"[grid_knn] repairing {n_fix}/{empty.size} uncovered grid "
+              f"nodes ({100.0 * n_fix / empty.size:.1f}%) through the exact "
+              f"kNN path — the point cloud has large voids relative to the "
+              f"kNN margin")
     queries = np.stack([np.asarray(grid.x)[ix], np.asarray(grid.y)[iy],
                         np.asarray(grid.z)[iz]], axis=-1).astype(np.float32)
-    if mode == "idw":
-        fixed = idw_interpolate(points, values, queries,
-                                k=min(k, np.shape(points)[0]), power=power)
-    else:
-        fixed = sibson_interpolate(points, values, queries,
-                                   k=min(k, np.shape(points)[0]))
+    kk = min(k, np.shape(points)[0])
+    # chunked + shape-bucketed evaluation: each device program scores at
+    # most CHUNK queries against the full cloud (bounds memory and program
+    # size no matter how many nodes need repair), and padding to power-of-2
+    # buckets keeps the jit cache to a handful of entries across calls
+    CHUNK = 131072
+    fixed = np.empty((n_fix, np.shape(values)[1]), np.float32)
+    for s in range(0, n_fix, CHUNK):
+        qc = queries[s:s + CHUNK]
+        m = len(qc)
+        padded = 1 << max(m - 1, 1).bit_length()
+        if padded > m:
+            qc = np.concatenate(
+                [qc, np.broadcast_to(qc[-1:], (padded - m, 3))])
+        if mode == "idw":
+            part = idw_interpolate(points, values, qc, k=kk, power=power)
+        else:
+            part = sibson_interpolate(points, values, qc, k=kk)
+        fixed[s:s + CHUNK] = np.asarray(part)[:m]
     out = np.array(out)   # writable host copy
-    out[iz, iy, ix] = np.asarray(fixed)
+    out[iz, iy, ix] = fixed
     return jnp.asarray(out)
 
 
