@@ -14,6 +14,10 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="Analyze interpolated velocity fields.")
     p.add_argument("--input", "-i", default="velocity_field.npz",
                    help="Input NPZ file with velocity field")
+    # The positive analysis flags are deliberate no-ops (`store_true` with
+    # default=True): the reference defines them identically
+    # (`analyze_flow.py:184-224`) and only the paired `--no-*` forms below
+    # act. Kept as-is so reference invocations parse unchanged.
     p.add_argument("--strain-rate", action="store_true", default=True)
     p.add_argument("--dissipation", action="store_true", default=True)
     p.add_argument("--vorticity", action="store_true", default=True)

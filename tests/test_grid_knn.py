@@ -153,6 +153,32 @@ def test_far_field_nodes_fall_back_to_exact_knn():
     np.testing.assert_allclose(out, 7.0, rtol=1e-5)
 
 
+def test_coverage_sentinel_is_recall_independent():
+    """Regression: the sentinel that routes nodes to the exact repair path
+    must count candidates inside the kNN margin (exact regardless of
+    approx_min_k recall), not compare the approx k-th distance to the
+    margin — the approx τ overshoots at recall<1 and falsely flagged ~10%
+    of the 256³/1M bench nodes, flooding the repair path."""
+    import jax.numpy as jnp
+    from ptv_interpolation_tpu.ops.grid_knn import (
+        _grid_block_weighted_sum, _host_setup)
+    from ptv_interpolation_tpu.interpolate.knn_weights import (
+        _sibson_panel_weights)
+    rng = np.random.default_rng(33)
+    pts = rng.uniform(0, 48, size=(60000, 3)).astype(np.float32)
+    vals = np.ones((60000, 3), np.float32)
+    grid = create_grid(((0, 49), (0, 49), (0, 49)), 48)
+    setup = _host_setup(pts, vals, grid, 50, None, None, (4, 8, 16), 1.45)
+    cells, values_sorted, axes, margin, mc, row_len = setup
+    _, den = _grid_block_weighted_sum(
+        cells, values_sorted, axes, jnp.float32(margin), 50, (4, 8, 16),
+        grid.shape, mc, row_len, _sibson_panel_weights(),
+        0.9, 8, False)
+    uncovered = float(np.mean(np.asarray(den) == 0.0))
+    # on a uniform cloud only domain-edge/corner nodes may be uncovered
+    assert uncovered < 0.02, f"{uncovered:.3f} of nodes flagged uncovered"
+
+
 def test_sparse_neighborhoods_finite_and_exact():
     """k > available candidates in a cell-list neighborhood: weights must
     renormalize over the valid slots (regression: inf for IDW, bias for
