@@ -106,11 +106,17 @@ def main():
     log(f"  relative L2 vs scipy reference: {l2:.2e}")
 
     # ---- divergence parity on a 64³ subvolume ----
+    # The reference must be evaluated at the MAIN grid's node coordinates
+    # (spacing 256/255, not a fresh linspace over the index range): a
+    # round-1 version built a new 64-node grid here, displacing the
+    # reference samples by up to 0.38 voxels and reporting a spurious
+    # ~8e-2 "divergence gap" that no kernel setting could close.
     log("divergence parity on a 64³ subvolume...")
     sl = slice(96, 160)
-    sub_grid = create_grid(
-        ((96, 161), (96, 161), (96, 161)), 64)
-    ref_q = np.asarray(sub_grid.flat_coords())
+    gx, gy, gz = (np.asarray(grid.x), np.asarray(grid.y), np.asarray(grid.z))
+    ZZ, YY, XX = np.meshgrid(gz[sl], gy[sl], gx[sl], indexing="ij")
+    ref_q = np.stack([XX.ravel(), YY.ravel(), ZZ.ravel()],
+                     axis=-1).astype(np.float64)
     ref_field = scipy_reference_values(pts, vals, ref_q).reshape(64, 64, 64, 3)
     ours_sub = out_np[sl, sl, sl]
     mask = np.ones((64, 64, 64), bool)

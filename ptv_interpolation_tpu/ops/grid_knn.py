@@ -283,14 +283,67 @@ def _generic_knn_fallback(points, values, queries, mode: str, power: float):
     return sibson_interpolate(points, values, queries, k=k)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "rings", "mode", "power",
+                                              "query_tile"))
+def _celllist_repair_eval(cells: CellList, values, queries, k: int,
+                          rings: int, mode: str, power: float,
+                          guard_radius, query_tile: int = 512):
+    """Exact kNN weighting through the cell-list neighborhood, plus a
+    per-query guarantee flag: ``good`` is True iff the returned k-th
+    neighbor lies within ``guard_radius`` (= rings·cell_size), in which
+    case the candidate neighborhood provably contains the true k-set."""
+    from ptv_interpolation_tpu.interpolate.knn_weights import (
+        _idw_weights, _sibson_weights)
+    from ptv_interpolation_tpu.ops.neighbors import (
+        celllist_tile_fn, map_query_tiles)
+    values = jnp.asarray(values, jnp.float32)
+    neighbor = celllist_tile_fn(cells, k, rings, exact_topk=True)
+
+    def tile(q_tile):
+        sq, idx = neighbor(q_tile)
+        ok = idx >= 0
+        dist = jnp.sqrt(jnp.maximum(jnp.where(ok, sq, 1.0), 0.0))
+        good = ok[:, -1] & (dist[:, -1] <= guard_radius)
+        if mode == "idw":
+            w = _idw_weights(dist, power, ok)
+        else:
+            w = _sibson_weights(dist, ok)
+        vals = values[jnp.clip(idx, 0, None)]
+        return (jnp.einsum("tk,tkc->tc", w, vals,
+                           precision=jax.lax.Precision.HIGHEST), good)
+
+    return map_query_tiles(tile, queries, query_tile)
+
+
+def _pad_pow2(q: np.ndarray) -> tuple[np.ndarray, int]:
+    """Pad rows to the next power of two (replicating the last row) so the
+    jit cache sees a handful of shapes across calls."""
+    m = len(q)
+    padded = 1 << max(m - 1, 1).bit_length()
+    if padded > m:
+        q = np.concatenate([q, np.broadcast_to(q[-1:], (padded - m, 3))])
+    return q, m
+
+
 def repair_empty_nodes(out, den, points, values, grid: Grid, k: int,
-                       mode: str, power: float = 2.0):
+                       mode: str, power: float = 2.0,
+                       cells: CellList | None = None,
+                       margin: float | None = None):
     """Escape hatch for nodes the block kernel cannot serve exactly:
     empty candidate regions (void regions of non-uniform clouds) and
     uncovered neighborhoods (k-th candidate beyond the kNN margin —
     domain edges/corners, sparse pockets). Both arrive with ``den == 0``
-    (the kernel's coverage sentinel) and are recomputed through the exact
-    generic kNN path.
+    (the kernel's coverage sentinel) and are recomputed exactly in two
+    stages:
+
+    1. cell-list kNN with ``rings`` sized for edge/corner geometry (the
+       k-th neighbor of a domain-corner node sits at ~2× the bulk k-th
+       radius, since only an octant of the neighborhood exists). Each
+       query self-certifies via the guaranteed-radius property; this
+       serves the ~1% edge/corner band in milliseconds.
+    2. brute force against the full cloud for whatever stage 1 could not
+       certify (genuine far-field voids) — chunked and shape-bucketed so
+       no input can produce an unboundedly large device program.
 
     ``out``: (nz, ny, nx, V), ``den``: (nz, ny, nx) weight sums from
     :func:`_grid_block_weighted_sum`. Shared by the single-chip driver and
@@ -303,32 +356,43 @@ def repair_empty_nodes(out, den, points, values, grid: Grid, k: int,
         idw_interpolate, sibson_interpolate)
     iz, iy, ix = np.nonzero(empty)
     n_fix = len(iz)
-    if n_fix > 0.01 * empty.size:
-        print(f"[grid_knn] repairing {n_fix}/{empty.size} uncovered grid "
-              f"nodes ({100.0 * n_fix / empty.size:.1f}%) through the exact "
-              f"kNN path — the point cloud has large voids relative to the "
-              f"kNN margin")
     queries = np.stack([np.asarray(grid.x)[ix], np.asarray(grid.y)[iy],
                         np.asarray(grid.z)[iz]], axis=-1).astype(np.float32)
     kk = min(k, np.shape(points)[0])
-    # chunked + shape-bucketed evaluation: each device program scores at
-    # most CHUNK queries against the full cloud (bounds memory and program
-    # size no matter how many nodes need repair), and padding to power-of-2
-    # buckets keeps the jit cache to a handful of entries across calls
-    CHUNK = 131072
     fixed = np.empty((n_fix, np.shape(values)[1]), np.float32)
-    for s in range(0, n_fix, CHUNK):
-        qc = queries[s:s + CHUNK]
-        m = len(qc)
-        padded = 1 << max(m - 1, 1).bit_length()
-        if padded > m:
-            qc = np.concatenate(
-                [qc, np.broadcast_to(qc[-1:], (padded - m, 3))])
-        if mode == "idw":
-            part = idw_interpolate(points, values, qc, k=kk, power=power)
-        else:
-            part = sibson_interpolate(points, values, qc, k=kk)
-        fixed[s:s + CHUNK] = np.asarray(part)[:m]
+    todo = np.arange(n_fix)
+
+    if cells is not None and margin is not None and len(todo):
+        cell_size = 1.0 / float(np.asarray(cells.inv_cell)[0])
+        # corners need ~2× the bulk k-th radius (octant geometry);
+        # margin = 1.45·r_k, so 1.6·margin ≈ 2.3·r_k covers it with slack
+        rings = int(math.ceil(1.6 * float(margin) / cell_size))
+        n_cand = (2 * rings + 1) ** 3 * cells.cap
+        if rings <= 6 and n_cand <= 131072:
+            qp, m = _pad_pow2(queries)
+            vals_s1, good = _celllist_repair_eval(
+                cells, values, qp, kk, rings, mode, float(power),
+                jnp.float32(rings * cell_size))
+            good = np.asarray(good)[:m]
+            fixed[good] = np.asarray(vals_s1)[:m][good]
+            todo = todo[~good]
+
+    if len(todo):
+        if len(todo) > 0.01 * empty.size:
+            print(f"[grid_knn] repairing {len(todo)}/{empty.size} uncovered "
+                  f"grid nodes ({100.0 * len(todo) / empty.size:.1f}%) "
+                  f"through the exact brute-force path — the point cloud "
+                  f"has large voids relative to the kNN margin")
+        CHUNK = 131072
+        for s in range(0, len(todo), CHUNK):
+            sel = todo[s:s + CHUNK]
+            qc, m = _pad_pow2(queries[sel])
+            if mode == "idw":
+                part = idw_interpolate(points, values, qc, k=kk, power=power)
+            else:
+                part = sibson_interpolate(points, values, qc, k=kk)
+            fixed[sel] = np.asarray(part)[:m]
+
     out = np.array(out)   # writable host copy
     out[iz, iy, ix] = fixed
     return jnp.asarray(out)
@@ -372,7 +436,8 @@ def grid_weighted_interpolate(points, values, grid: Grid, k: int,
                                         jnp.float32(margin), k, tuple(block),
                                         grid.shape, mc, row_len, weight_fn,
                                         recall_target, group, exact_tau)
-    return repair_empty_nodes(out, den, points, values, grid, k, mode, power)
+    return repair_empty_nodes(out, den, points, values, grid, k, mode, power,
+                              cells=cells, margin=margin)
 
 
 def grid_knn_apply(points, values, grid: Grid, k: int, consume_fn: Callable,

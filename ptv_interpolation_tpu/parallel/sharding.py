@@ -171,7 +171,8 @@ def sharded_grid_interpolate(points, values, grid: Grid, mesh: Mesh,
     out = jax.jit(fn)(cells, values_sorted, x_ax, y_ax, z_slabs)
     out = out.reshape(nz_pad, grid.ny, grid.nx, -1)[: grid.nz]
     return repair_empty_nodes(out[..., :-1], out[..., -1], points, values,
-                              grid, k, method, power)
+                              grid, k, method, power, cells=cells,
+                              margin=margin)
 
 
 # ---------------------------------------------------------------------------

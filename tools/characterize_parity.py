@@ -85,8 +85,13 @@ def main():
     pts, vals = make_problem()
     grid = create_grid(((0, GRID_N + 1),) * 3, GRID_N)
     nsub = SUB.stop - SUB.start
-    sub_grid = create_grid(((SUB.start, SUB.stop + 1),) * 3, nsub)
-    sub_q = np.asarray(sub_grid.flat_coords())
+    # evaluate the reference at the MAIN grid's node coordinates — a fresh
+    # linspace over the index range displaces the samples by up to 0.38
+    # voxels and fabricates an ~8e-2 divergence "gap" (the round-1 bug:
+    # exact-tau and recall=0.99 both plateaued at div=0.0467)
+    gx, gy, gz = (np.asarray(grid.x), np.asarray(grid.y), np.asarray(grid.z))
+    ZZ, YY, XX = np.meshgrid(gz[SUB], gy[SUB], gx[SUB], indexing="ij")
+    sub_q = np.stack([XX.ravel(), YY.ravel(), ZZ.ravel()], axis=-1)
 
     # ---- exact KDTree neighbor sets on the subvolume ----
     log("KDTree exact k-set on the 64^3 subvolume...")
