@@ -348,14 +348,21 @@ def repair_empty_nodes(out, den, points, values, grid: Grid, k: int,
     ``out``: (nz, ny, nx, V), ``den``: (nz, ny, nx) weight sums from
     :func:`_grid_block_weighted_sum`. Shared by the single-chip driver and
     the sharded slab path so multi-chip results match single-chip on
-    clouds with void regions."""
-    empty = np.asarray(den == 0.0)
-    if not empty.any():
+    clouds with void regions.
+
+    Transfer discipline: the full field NEVER crosses the device boundary
+    here — only a scalar count, the uncovered flat indices, and the
+    repaired rows move (the obvious ``np.array(out)`` host round-trip
+    costs ~25 s at 256³ over the tunnel, 4× the kernel itself)."""
+    den_zero = den == 0.0                       # stays on device
+    n_fix = int(jnp.sum(den_zero))              # scalar pull
+    if n_fix == 0:
         return out
     from ptv_interpolation_tpu.interpolate.knn_weights import (
         idw_interpolate, sibson_interpolate)
-    iz, iy, ix = np.nonzero(empty)
-    n_fix = len(iz)
+    flat = jnp.nonzero(den_zero.ravel(), size=n_fix)[0]
+    flat_np = np.asarray(flat)                  # (n_fix,) index pull
+    iz, iy, ix = np.unravel_index(flat_np, np.shape(den))
     queries = np.stack([np.asarray(grid.x)[ix], np.asarray(grid.y)[iy],
                         np.asarray(grid.z)[iz]], axis=-1).astype(np.float32)
     kk = min(k, np.shape(points)[0])
@@ -378,9 +385,10 @@ def repair_empty_nodes(out, den, points, values, grid: Grid, k: int,
             todo = todo[~good]
 
     if len(todo):
-        if len(todo) > 0.01 * empty.size:
-            print(f"[grid_knn] repairing {len(todo)}/{empty.size} uncovered "
-                  f"grid nodes ({100.0 * len(todo) / empty.size:.1f}%) "
+        n_nodes = int(np.prod(np.shape(den)))
+        if len(todo) > 0.01 * n_nodes:
+            print(f"[grid_knn] repairing {len(todo)}/{n_nodes} uncovered "
+                  f"grid nodes ({100.0 * len(todo) / n_nodes:.1f}%) "
                   f"through the exact brute-force path — the point cloud "
                   f"has large voids relative to the kNN margin")
         CHUNK = 131072
@@ -393,9 +401,11 @@ def repair_empty_nodes(out, den, points, values, grid: Grid, k: int,
                 part = sibson_interpolate(points, values, qc, k=kk)
             fixed[sel] = np.asarray(part)[:m]
 
-    out = np.array(out)   # writable host copy
-    out[iz, iy, ix] = fixed
-    return jnp.asarray(out)
+    # device-side scatter of the repaired rows (out keeps (nz,ny,nx,V)
+    # C-order, so the flat den index addresses the same node)
+    V = out.shape[-1]
+    out = out.reshape(-1, V).at[flat].set(jnp.asarray(fixed))
+    return out.reshape(np.shape(den) + (V,))
 
 
 def grid_weighted_interpolate(points, values, grid: Grid, k: int,
