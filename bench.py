@@ -74,12 +74,12 @@ def main():
     grid = create_grid(((0, GRID_N + 1), (0, GRID_N + 1), (0, GRID_N + 1)),
                        GRID_N)
 
-    # recall_target=0.99 is bit-identical to exact top-k selection at this
-    # panel geometry (tools/characterize_parity.py: L2 1.65e-6, divergence
-    # 2.4e-6 vs the f64 scipy reference — the f32 floor) and still 12.8×
-    # the scipy path. recall_target=0.90 is the fast mode: ~9.8 s (22×) at
-    # L2 4.8e-3 / div 6.8e-2.
-    kwargs = dict(k=K, recall_target=0.99, group=8, block=(4, 8, 16))
+    # tau_mode='bisect' finds the exact k-th-distance threshold by monotone
+    # counting (no sort): selection parity is bit-equivalent to exact top-k
+    # (tools/characterize_parity.py: L2 1.65e-6, divergence 2.4e-6 vs the
+    # f64 scipy reference — the f32 floor) at 19×. Fast mode:
+    # tau_mode='approx', recall_target=0.90 → ~9.8 s (22×) at L2 4.8e-3.
+    kwargs = dict(k=K, tau_mode="bisect", group=8, block=(4, 8, 16))
 
     log("compiling + warmup run...")
     t0 = time.time()

@@ -153,12 +153,27 @@ def _idw_panel_weights(power: float):
 @functools.lru_cache(maxsize=1)
 def _sibson_panel_weights():
     def weight_fn(d, mask, sq_topk):
-        # std / min over the k-set come from the (already selected) top-k
-        # distances; the per-row constant shift keeps exp in range (see
-        # _sibson_weights) and cancels under normalization
-        d_k = jnp.sqrt(jnp.maximum(sq_topk, 0.0))
-        std = jnp.std(d_k, axis=-1, keepdims=True)
-        dmin = d_k[:, :1]
+        if sq_topk is None:
+            # bisect-τ mode: no gathered top-k distances exist — the k-set
+            # statistics come from masked reductions over the panel (the
+            # mask IS the k-set, bar τ-precision ties)
+            okf = mask.astype(d.dtype)
+            n_ok = jnp.maximum(jnp.sum(okf, axis=-1, keepdims=True), 1.0)
+            d_ok = jnp.where(mask, d, 0.0)
+            mean = jnp.sum(d_ok, axis=-1, keepdims=True) / n_ok
+            var = jnp.sum(okf * (d_ok - mean) ** 2, axis=-1,
+                          keepdims=True) / n_ok
+            std = jnp.sqrt(jnp.maximum(var, 0.0))
+            dmin = jnp.min(jnp.where(mask, d, jnp.inf), axis=-1,
+                           keepdims=True)
+            dmin = jnp.where(jnp.isfinite(dmin), dmin, 0.0)
+        else:
+            # std / min over the k-set come from the (already selected)
+            # top-k distances; the per-row constant shift keeps exp in
+            # range (see _sibson_weights) and cancels under normalization
+            d_k = jnp.sqrt(jnp.maximum(sq_topk, 0.0))
+            std = jnp.std(d_k, axis=-1, keepdims=True)
+            dmin = d_k[:, :1]
         inv = 1.0 / (d + _EPS)
         return inv * jnp.exp(-(d - dmin) / (std + _EPS))
     return weight_fn

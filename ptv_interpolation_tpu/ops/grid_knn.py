@@ -148,22 +148,37 @@ def _grid_block_eval(cells: CellList, values_sorted, axes, margin, k: int,
 
 @functools.partial(jax.jit, static_argnames=(
     "k", "block", "grid_shape", "mc", "row_len", "weight_fn",
-    "recall_target", "group", "exact_tau"))
+    "recall_target", "group", "exact_tau", "tau_mode"))
 def _grid_block_weighted_sum(cells: CellList, values_sorted, axes, margin,
                              k: int, block: Tuple[int, int, int],
                              grid_shape: Tuple[int, int, int],
                              mc: Tuple[int, int, int], row_len: int,
                              weight_fn: Callable, recall_target: float,
-                             group: int, exact_tau: bool = False):
+                             group: int, exact_tau: bool = False,
+                             tau_mode: str = "approx"):
     """Weighted-sum fast path (IDW / sibson): selection-free reduction.
 
-    ``approx_min_k`` is used only to find each query's k-th distance τ;
-    the weights are then evaluated over the *whole* candidate panel masked
-    by ``d ≤ τ`` and reduced with one (B,C)×(C,V) MXU matmul. Identical
-    math to gather-the-k-neighbors (bar exact-τ ties), but the entire
+    A per-query k-th-distance threshold τ is found, then the weights are
+    evaluated over the *whole* candidate panel masked by ``d ≤ τ`` and
+    reduced with per-channel VPU sums. Identical math to
+    gather-the-k-neighbors (bar exact-τ ties), but the entire
     post-selection pipeline (index gathers, (B,k) value takes) disappears.
 
-    ``weight_fn(d, mask, sq_topk) -> (B, C) unnormalized weights``.
+    ``tau_mode`` picks how τ is found:
+
+    * ``'approx'`` — ``jax.lax.approx_min_k`` at ``recall_target``; the
+      fastest, with recall-dependent selection error.
+    * ``'bisect'`` — exact τ by monotone counting: c(t) = #{d² ≤ t} is
+      bisected on [0, margin²] (24 fused compare+reduce passes — no sort,
+      no PartialReduce). Exact to ~margin²·2⁻²⁴, i.e. parity-equivalent
+      to exact top-k, usually cheaper than recall ≥0.99 approx selection.
+    * ``'exact'`` — full ``lax.top_k`` (the reference oracle; slowest).
+
+    ``exact_tau=True`` is back-compat for ``tau_mode='exact'``.
+
+    ``weight_fn(d, mask, sq_topk) -> (B, C) unnormalized weights``
+    (``sq_topk`` is None in bisect mode — sibson statistics then come from
+    masked panel reductions instead of the gathered top-k distances).
     """
     bz, by, bx = block
     nz, ny, nx = grid_shape
@@ -219,29 +234,49 @@ def _grid_block_weighted_sum(cells: CellList, values_sorted, axes, margin,
         d2 = jnp.sum((q[:, None, :] - cand_pts[None, :, :]) ** 2, axis=-1)
         d2 = jnp.where(valid_c[None, :], d2, _BIG)
 
-        if exact_tau:
-            # exact k-th distance: the τ-threshold mask becomes exactly the
-            # true k-set (bar distance ties) and the sibson std/min stats
-            # match the reference's k-set statistics
-            sq_topk = -jax.lax.top_k(-d2, min(k, C))[0]
-        else:
-            sq_topk, _ = jax.lax.approx_min_k(d2, min(k, C),
-                                              recall_target=recall_target)
+        kk = min(k, C)
         # exact coverage sentinel: the candidate region contains every cloud
         # point within `margin` of any query in the block (guaranteed-radius
         # property), so counting candidates inside the margin counts ALL
         # cloud points inside it — covered ⟺ true k-th distance ≤ margin,
-        # independent of approx_min_k recall. (A τ-based sentinel is wrong
+        # independent of the τ estimator. (A τ-based sentinel is wrong
         # at recall<1: the approx k-th distance overshoots the true one and
         # falsely flagged ~10% of the 256³/1M bench nodes, flooding
         # repair_empty_nodes with brute-force work.)
         m2 = margin * margin
         covered = (jnp.sum((d2 <= m2).astype(jnp.int32), axis=1,
-                           keepdims=True) >= min(k, C))
-        # when covered, the true k-th distance ≤ margin, so clamping the
-        # (overshooting) approx τ to the margin keeps every true neighbor
-        # while cutting the spurious far tail out of the weight mask
-        tau2 = jnp.minimum(sq_topk[:, -1:], jnp.where(covered, m2, _BIG))
+                           keepdims=True) >= kk)
+        mode = "exact" if exact_tau else tau_mode
+        if mode == "bisect":
+            # exact τ without any sort: c(t) = #{d² ≤ t} is monotone, so
+            # 24 bisections on [0, margin²] pin the k-th distance to
+            # margin²·2⁻²⁴ — below the f32 spacing of any realistic d².
+            # Covered queries converge to the true τ; uncovered ones drive
+            # hi → margin² and are repaired via the sentinel anyway.
+            sq_topk = None
+            lo = jnp.zeros((d2.shape[0], 1), d2.dtype)
+            hi = jnp.full((d2.shape[0], 1), m2, d2.dtype)
+            for _ in range(24):
+                mid = 0.5 * (lo + hi)
+                c = jnp.sum((d2 <= mid).astype(jnp.int32), axis=1,
+                            keepdims=True)
+                short = c < kk
+                lo = jnp.where(short, mid, lo)
+                hi = jnp.where(short, hi, mid)
+            tau2 = hi
+        else:
+            if mode == "exact":
+                # exact k-th distance: the τ-mask becomes exactly the true
+                # k-set (bar ties) and the sibson std/min stats match the
+                # reference's k-set statistics
+                sq_topk = -jax.lax.top_k(-d2, kk)[0]
+            else:
+                sq_topk, _ = jax.lax.approx_min_k(
+                    d2, kk, recall_target=recall_target)
+            # when covered, the true k-th distance ≤ margin, so clamping
+            # the (overshooting) approx τ to the margin keeps every true
+            # neighbor while cutting the spurious far tail out of the mask
+            tau2 = jnp.minimum(sq_topk[:, -1:], jnp.where(covered, m2, _BIG))
         mask = (d2 <= tau2) & valid_c[None, :]
         d = jnp.sqrt(jnp.maximum(d2, 0.0))
         w = jnp.where(mask, weight_fn(d, mask, sq_topk), 0.0)
@@ -416,13 +451,19 @@ def grid_weighted_interpolate(points, values, grid: Grid, k: int,
                               margin_factor: float = 1.45,
                               recall_target: float = 0.9, group: int = 8,
                               backend: str = "xla", mode: str = "sibson",
-                              power: float = 2.0, exact_tau: bool = False):
+                              power: float = 2.0, exact_tau: bool = False,
+                              tau_mode: str = "bisect"):
     """Driver for the weighted-sum fast path (shares host setup with
     :func:`grid_knn_apply`).
 
     ``backend='pallas'`` routes IDW/sibson through the experimental fused
     Pallas kernel (see ``ops/pallas_grid_knn.py`` for its measured
     trade-offs); 'xla' (default) is the production path.
+
+    The default ``tau_mode='bisect'`` gives exact-selection parity with the
+    f64 scipy reference (headline: L2 1.65e-6 / divergence 2.4e-6 — the
+    f32 floor — at 19× the scipy path); ``tau_mode='approx'`` with
+    ``recall_target=0.9`` is the fast mode (~22×, L2 ~5e-3).
 
     Degrades gracefully on pathologically clustered clouds: if no cell
     resolution satisfies the block kernel's row-capacity bound (e.g. >1024
@@ -445,7 +486,8 @@ def grid_weighted_interpolate(points, values, grid: Grid, k: int,
     out, den = _grid_block_weighted_sum(cells, values_sorted, axes,
                                         jnp.float32(margin), k, tuple(block),
                                         grid.shape, mc, row_len, weight_fn,
-                                        recall_target, group, exact_tau)
+                                        recall_target, group, exact_tau,
+                                        tau_mode)
     return repair_empty_nodes(out, den, points, values, grid, k, mode, power,
                               cells=cells, margin=margin)
 

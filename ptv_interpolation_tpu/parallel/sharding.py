@@ -109,6 +109,7 @@ def sharded_grid_interpolate(points, values, grid: Grid, mesh: Mesh,
                              power: float = 2.0,
                              block=(4, 8, 16), recall_target: float = 0.9,
                              group: int = 8, margin_factor: float = 1.45,
+                             tau_mode: str = "bisect",
                              axis_name: str = DATA_AXIS):
     """The block-centric τ-threshold kernel sharded over the mesh.
 
@@ -157,7 +158,7 @@ def sharded_grid_interpolate(points, values, grid: Grid, mesh: Mesh,
         out, den = _grid_block_weighted_sum(
             cells_l, vals_l, (x_l, y_l, z_slab[0]), jnp.float32(margin), k,
             tuple(block), slab_shape, mc, row_len, weight_fn,
-            recall_target, group)
+            recall_target, group, False, tau_mode)
         # carry the weight sums along so the far-field fallback (nodes with
         # an empty candidate region) can run after the slabs recombine —
         # multi-chip must match single-chip on clouds with void regions

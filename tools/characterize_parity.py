@@ -134,6 +134,7 @@ def main():
         ("recall=0.95", dict(recall_target=0.95)),
         ("recall=0.99", dict(recall_target=0.99)),
         ("exact-tau  ", dict(exact_tau=True)),
+        ("bisect-tau ", dict(tau_mode="bisect")),
     ]
     if len(sys.argv) > 1:   # select configs by index, e.g. "0 1"
         sel = [int(a) for a in sys.argv[1:]]
