@@ -157,7 +157,8 @@ def scenario_4(n_points=500_000, n=128):
     maskf = fluid.astype(np.float32)
 
     def run():
-        out = sibson_grid_interpolate(pts, vals, grid, k=50)
+        out = sibson_grid_interpolate(pts, vals, grid, k=50,
+                                       skip_mask=~fluid)
         res = clean_divergence_variational(
             out[..., 0] * maskf, out[..., 1] * maskf, out[..., 2] * maskf,
             fluid, *grid.spacing, lambda_reg=200.0, maxiter=300)
@@ -191,7 +192,8 @@ def scenario_5():
     log("scenario 5: full pipeline (warmup)...")
 
     def run():
-        out = sibson_grid_interpolate(pts, vals, grid, k=50)
+        out = sibson_grid_interpolate(pts, vals, grid, k=50,
+                                       skip_mask=~fluid)
         u = out[..., 0] * maskf
         v = out[..., 1] * maskf
         w = out[..., 2] * maskf

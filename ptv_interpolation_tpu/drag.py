@@ -140,10 +140,21 @@ def compute_interface_drag_staircase(u, v, w, pressure, viscosity, dx, dy, dz,
 # ---------------------------------------------------------------------------
 
 @jax.jit
-def _mesh_tractions(u, v, w, p, bg, centroids, n_unit_voxel, n_unit_physical,
-                    tri_areas, delta_phys, viscosity, has_bg):
+def _mesh_tractions(u, v, w, p, bg, centroids, n_unit_physical,
+                    tri_areas, spacing_zyx, viscosity, has_bg):
     """Device part of the mesh drag: offset-sample velocities, assemble
-    viscous + pressure tractions, decompose, classify, integrate."""
+    viscous + pressure tractions, decompose, classify, integrate.
+
+    The voxel-space unit normals and the physical offset distance are
+    derived ON DEVICE from the physical normals + spacing: pushing them
+    precomputed doubles the per-triangle h2d traffic (at 3.2M triangles
+    that is ~50 MB per call — seconds over a tunneled backend)."""
+    n_vox = n_unit_physical / spacing_zyx[None, :]
+    n_vox = n_vox / jnp.maximum(
+        jnp.linalg.norm(n_vox, axis=1, keepdims=True), 1e-20)
+    delta_phys = 0.25 * jnp.sqrt(
+        jnp.sum((n_vox * spacing_zyx[None, :]) ** 2, axis=1))
+    n_unit_voxel = n_vox
     sample_coords = (centroids + 0.25 * n_unit_voxel).T          # inside label
     outer_coords = (centroids - 0.25 * n_unit_voxel).T
 
@@ -229,21 +240,12 @@ def compute_interface_drag_mesh(u, v, w, pressure, viscosity, dx, dy, dz,
         normals = orient_normals(normals, centroids, label_vol,
                                  spacing=(dz, dy, dx))
 
-        # voxel-space unit normals for offset sampling
-        n_vox = normals / np.asarray([dz, dy, dx])
-        n_vox /= np.maximum(np.linalg.norm(n_vox, axis=1, keepdims=True),
-                            1e-20)
-        delta_phys = 0.25 * np.sqrt((n_vox[:, 0] * dz) ** 2
-                                    + (n_vox[:, 1] * dy) ** 2
-                                    + (n_vox[:, 2] * dx) ** 2)
-
         out = _mesh_tractions(
             u, v, w, p, bg,
             jnp.asarray(centroids, jnp.float32),
-            jnp.asarray(n_vox, jnp.float32),
             jnp.asarray(normals, jnp.float32),
             jnp.asarray(tri_areas, jnp.float32),
-            jnp.asarray(delta_phys, jnp.float32),
+            jnp.asarray([dz, dy, dx], jnp.float32),
             jnp.float32(viscosity), jnp.asarray(has_bg))
         # one batched device_get: per-scalar float() pulls are ~40 separate
         # host round-trips (seconds over a tunneled backend)

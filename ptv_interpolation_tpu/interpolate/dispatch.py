@@ -133,7 +133,8 @@ _GRID_FASTPATH_MIN_WORK = 2 ** 33  # Q·N above which the block kernel wins
 
 
 def interpolate_field(points, values, grid: Grid, method: str = "linear",
-                      use_grid_kernel: str = "auto", **kwargs):
+                      use_grid_kernel: str = "auto", skip_mask=None,
+                      **kwargs):
     """Interpolate onto a :class:`Grid`; returns ``(U, V, W)`` arrays of
     shape ``grid.shape`` — the reference `interpolate_field` contract
     (`interpolator.py:65-203`).
@@ -143,6 +144,11 @@ def interpolate_field(points, values, grid: Grid, method: str = "linear",
     regular-grid structure of the queries is where the order-of-magnitude
     speedup over the scipy path comes from. ``use_grid_kernel``:
     'auto' (size-based), 'always', or 'never'.
+
+    ``skip_mask`` ((nz,ny,nx) bool, True = value will be discarded): lets
+    the grid kernel skip exact repair of uncovered nodes the caller
+    overwrites anyway — the pipeline passes the solid mask here, since
+    solid voxels are zeroed right after (`main.py:201-207`).
     """
     n_pts = int(np.asarray(points).shape[0])
     work = n_pts * grid.n_points
@@ -155,11 +161,12 @@ def interpolate_field(points, values, grid: Grid, method: str = "linear",
         if method == "idw":
             out = idw_grid_interpolate(
                 points, values, grid, k=min(kwargs.get("idw_neighbors", 50), n_pts),
-                power=kwargs.get("idw_power", 2.0))
+                power=kwargs.get("idw_power", 2.0), skip_mask=skip_mask)
         elif method == "sibson":
             out = sibson_grid_interpolate(
                 points, values, grid,
-                k=min(kwargs.get("sibson_neighbors", 30), n_pts))
+                k=min(kwargs.get("sibson_neighbors", 30), n_pts),
+                skip_mask=skip_mask)
         else:
             from ptv_interpolation_tpu.interpolate.rbf_local import (
                 rbf_local_grid_interpolate)

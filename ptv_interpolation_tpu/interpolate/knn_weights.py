@@ -189,6 +189,7 @@ def idw_grid_interpolate(points, values, grid, k: int = 50,
     from ptv_interpolation_tpu.ops.grid_knn import (
         grid_knn_apply, grid_weighted_interpolate)
     if exact_topk:
+        kwargs.pop("skip_mask", None)   # gather path has no repair stage
         return grid_knn_apply(points, values, grid, k,
                               _idw_consume(float(power)),
                               out_dim=np.shape(values)[1], exact_topk=True,
@@ -206,6 +207,7 @@ def sibson_grid_interpolate(points, values, grid, k: int = 30,
     from ptv_interpolation_tpu.ops.grid_knn import (
         grid_knn_apply, grid_weighted_interpolate)
     if exact_topk:
+        kwargs.pop("skip_mask", None)   # gather path has no repair stage
         return grid_knn_apply(points, values, grid, k, _sibson_consume(),
                               out_dim=np.shape(values)[1], exact_topk=True,
                               needs_positions=False, **kwargs)

@@ -363,7 +363,8 @@ def _pad_pow2(q: np.ndarray) -> tuple[np.ndarray, int]:
 def repair_empty_nodes(out, den, points, values, grid: Grid, k: int,
                        mode: str, power: float = 2.0,
                        cells: CellList | None = None,
-                       margin: float | None = None):
+                       margin: float | None = None,
+                       skip_mask=None):
     """Escape hatch for nodes the block kernel cannot serve exactly:
     empty candidate regions (void regions of non-uniform clouds) and
     uncovered neighborhoods (k-th candidate beyond the kNN margin —
@@ -388,8 +389,17 @@ def repair_empty_nodes(out, den, points, values, grid: Grid, k: int,
     Transfer discipline: the full field NEVER crosses the device boundary
     here — only a scalar count, the uncovered flat indices, and the
     repaired rows move (the obvious ``np.array(out)`` host round-trip
-    costs ~25 s at 256³ over the tunnel, 4× the kernel itself)."""
+    costs ~25 s at 256³ over the tunnel, 4× the kernel itself).
+
+    ``skip_mask`` (optional, (nz,ny,nx) bool, True = skip): nodes the
+    caller will overwrite anyway — e.g. solid voxels that get zeroed right
+    after interpolation (`/root/reference/main.py:201-207`) — are excluded
+    from repair. On porous geometries the solid interior is exactly where
+    coverage fails (no particles live there), so without this ~25% of a
+    256³ grid would be repaired only to be discarded."""
     den_zero = den == 0.0                       # stays on device
+    if skip_mask is not None:
+        den_zero = den_zero & ~jnp.asarray(skip_mask, bool)
     n_fix = int(jnp.sum(den_zero))              # scalar pull
     if n_fix == 0:
         return out
@@ -452,7 +462,7 @@ def grid_weighted_interpolate(points, values, grid: Grid, k: int,
                               recall_target: float = 0.9, group: int = 8,
                               backend: str = "xla", mode: str = "sibson",
                               power: float = 2.0, exact_tau: bool = False,
-                              tau_mode: str = "bisect"):
+                              tau_mode: str = "bisect", skip_mask=None):
     """Driver for the weighted-sum fast path (shares host setup with
     :func:`grid_knn_apply`).
 
@@ -489,7 +499,8 @@ def grid_weighted_interpolate(points, values, grid: Grid, k: int,
                                         recall_target, group, exact_tau,
                                         tau_mode)
     return repair_empty_nodes(out, den, points, values, grid, k, mode, power,
-                              cells=cells, margin=margin)
+                              cells=cells, margin=margin,
+                              skip_mask=skip_mask)
 
 
 def grid_knn_apply(points, values, grid: Grid, k: int, consume_fn: Callable,

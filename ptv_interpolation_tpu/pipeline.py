@@ -230,7 +230,10 @@ def _run_pipeline_stages(config: PipelineConfig, cloud, mask_raw,
             smoothing=config.smoothing, idw_power=config.idw_power,
             idw_neighbors=config.idw_neighbors,
             sibson_neighbors=config.sibson_neighbors,
-            cubic_fallback=config.cubic_fallback, verbose=v)
+            cubic_fallback=config.cubic_fallback, verbose=v,
+            # solid voxels are zeroed in step 7 — exact repair of uncovered
+            # solid-interior nodes would be discarded work
+            skip_mask=(~mask if mask_raw is not None else None))
         U = np.nan_to_num(np.asarray(U))
         V = np.nan_to_num(np.asarray(V))
         W = np.nan_to_num(np.asarray(W))
