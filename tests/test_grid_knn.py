@@ -57,6 +57,18 @@ def test_sibson_grid_exact_tau_matches_tile_path(problem):
     _assert_almost_all_close(got, want)
 
 
+def test_grid_approx_mode_stays_close(problem):
+    """tau_mode='approx' (the opt-in fast mode since bisect became the
+    default) must stay within its documented accuracy envelope."""
+    pts, vals, grid = problem
+    got = np.asarray(sibson_grid_interpolate(
+        pts, vals, grid, k=20, tau_mode="approx",
+        recall_target=0.9)).reshape(-1, 3)
+    want = np.asarray(sibson_interpolate(pts, vals, grid.flat_coords(), k=20))
+    rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert rel < 2e-2, f"approx-mode relative L2 {rel:.3e}"
+
+
 def test_grid_knn_nonuniform_spacing_and_odd_shape():
     rng = np.random.default_rng(22)
     pts = rng.uniform(0, 20, size=(3000, 3)).astype(np.float32)
