@@ -14,8 +14,10 @@ Strategy (per grid block of ``bz×by×bx`` query points):
    radius (static count per compile);
 2. score every query in the block against the shared candidates densely
    (a (B, C) distance panel — pure VPU work, no further HBM traffic);
-3. top-k per query via the TPU-accelerated ``approx_min_k`` partial
-   reduce (exact ``top_k`` optional);
+3. per-query k-th-distance threshold τ — by default bisected exactly from
+   the monotone count ``#{d² ≤ t}`` (no sort; selection parity equals
+   exact top-k), or via the TPU-accelerated ``approx_min_k`` partial
+   reduce (fast mode) / exact ``top_k`` (oracle);
 4. consume neighbors *locally*: weights (IDW/sibson) or small solves
    (local RBF) read candidate positions/values with in-VMEM
    ``take_along_axis`` — no global (Q, k) value gather ever happens.
@@ -492,14 +494,14 @@ def grid_weighted_interpolate(points, values, grid: Grid, k: int,
         queries = np.asarray(grid.flat_coords())
         out = _generic_knn_fallback(points, values, queries, mode, power)
         return jnp.asarray(out).reshape(grid.shape + (-1,))
-    (cells, values_sorted, axes, margin, mc, row_len) = setup
+    (cells, values_sorted, axes, margin, mc, row_len, values_dev) = setup
     out, den = _grid_block_weighted_sum(cells, values_sorted, axes,
                                         jnp.float32(margin), k, tuple(block),
                                         grid.shape, mc, row_len, weight_fn,
                                         recall_target, group, exact_tau,
                                         tau_mode)
-    return repair_empty_nodes(out, den, points, values, grid, k, mode, power,
-                              cells=cells, margin=margin,
+    return repair_empty_nodes(out, den, points, values_dev, grid, k, mode,
+                              power, cells=cells, margin=margin,
                               skip_mask=skip_mask)
 
 
@@ -508,7 +510,7 @@ def grid_knn_apply(points, values, grid: Grid, k: int, consume_fn: Callable,
                    cell_size: float | None = None,
                    block: Tuple[int, int, int] = (8, 8, 8),
                    margin_factor: float = 1.45, exact_topk: bool = False,
-                   recall_target: float = 0.95, group: int = 8,
+                   recall_target: float = 0.99, group: int = 8,
                    needs_positions: bool = True):
     """Evaluate ``consume_fn`` on the k nearest ``points`` of every grid
     node. ``consume_fn(sq_dists, neighbor_pos, neighbor_vals, valid, q)``
@@ -519,7 +521,7 @@ def grid_knn_apply(points, values, grid: Grid, k: int, consume_fn: Callable,
     cell-row count and row capacity follow from the block's physical
     extent and the observed occupancy.
     """
-    (cells, values_sorted, axes, margin, mc, row_len) = _host_setup(
+    (cells, values_sorted, axes, margin, mc, row_len, _) = _host_setup(
         points, values, grid, k, cells, cell_size, block, margin_factor)
     return _grid_block_eval(cells, values_sorted, axes, jnp.float32(margin),
                             k, tuple(block), grid.shape, mc, row_len,
@@ -621,9 +623,12 @@ def _host_setup(points, values, grid: Grid, k: int, cells, cell_size, block,
     axes = (pad_axis(grid.x, block[2]), pad_axis(grid.y, block[1]),
             pad_axis(grid.z, block[0]))
 
-    # values sorted into the cell order once (device gather, O(N))
-    values_sorted = _sort_values(jnp.asarray(vals), cells.order)
-    return cells, values_sorted, axes, margin, mc, row_len
+    # values pushed to device ONCE; the cell-order sort reuses this copy and
+    # so does the repair stage (a second jnp.asarray(np_values) in the
+    # repair would re-transfer ~12 MB per call at 1M points)
+    values_dev = jnp.asarray(vals)
+    values_sorted = _sort_values(values_dev, cells.order)
+    return cells, values_sorted, axes, margin, mc, row_len, values_dev
 
 
 @jax.jit
@@ -712,7 +717,7 @@ def _scatter_block_eval(cells: CellList, values_sorted, queries_padded,
 def scatter_knn_apply(points, values, queries, k: int, consume_fn: Callable,
                       out_dim: int, cell_size: float | None = None,
                       margin_factor: float = 1.45, exact_topk: bool = False,
-                      recall_target: float = 0.95, group: int = 8):
+                      recall_target: float = 0.99, group: int = 8):
     """Block-centric kNN over *arbitrary* query points: queries are bucketed
     into margin-sized spatial blocks on the host, each block shares one
     candidate fetch. This is the at-scale path for point-cloud self-queries

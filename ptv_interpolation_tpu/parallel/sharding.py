@@ -141,7 +141,7 @@ def sharded_grid_interpolate(points, values, grid: Grid, mesh: Mesh,
     slab = -(-slab // bz) * bz
     nz_pad = slab * n_dev
 
-    (cells, values_sorted, axes, margin, mc, row_len) = _host_setup(
+    (cells, values_sorted, axes, margin, mc, row_len, values_dev) = _host_setup(
         points, values, grid, k, None, None, block, margin_factor)
     x_ax, y_ax, _ = axes
     # padded z axis, one slab per device (each slab keeps real spacing)
@@ -171,7 +171,7 @@ def sharded_grid_interpolate(points, values, grid: Grid, mesh: Mesh,
         out_specs=P(axis_name), check_vma=False)
     out = jax.jit(fn)(cells, values_sorted, x_ax, y_ax, z_slabs)
     out = out.reshape(nz_pad, grid.ny, grid.nx, -1)[: grid.nz]
-    return repair_empty_nodes(out[..., :-1], out[..., -1], points, values,
+    return repair_empty_nodes(out[..., :-1], out[..., -1], points, values_dev,
                               grid, k, method, power, cells=cells,
                               margin=margin)
 
