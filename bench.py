@@ -77,9 +77,9 @@ def main():
     # tau_mode='bisect' finds the exact k-th-distance threshold by monotone
     # counting (no sort): selection parity is bit-equivalent to exact top-k
     # (tools/characterize_parity.py: L2 1.65e-6, divergence 2.4e-6 vs the
-    # f64 scipy reference — the f32 floor) at 19×. Fast mode:
+    # f64 scipy reference — the f32 floor). Fast mode:
     # tau_mode='approx', recall_target=0.90 → ~9.8 s (22×) at L2 4.8e-3.
-    kwargs = dict(k=K, tau_mode="bisect", group=8, block=(4, 8, 16))
+    kwargs = dict(k=K, tau_mode="bisect", group=8, block=(8, 8, 16))
 
     log("compiling + warmup run...")
     t0 = time.time()

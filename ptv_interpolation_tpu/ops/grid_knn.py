@@ -459,7 +459,7 @@ def grid_weighted_interpolate(points, values, grid: Grid, k: int,
                               weight_fn: Callable,
                               cells: CellList | None = None,
                               cell_size: float | None = None,
-                              block: Tuple[int, int, int] = (4, 8, 16),
+                              block: Tuple[int, int, int] = (8, 8, 16),
                               margin_factor: float = 1.45,
                               recall_target: float = 0.9, group: int = 8,
                               backend: str = "xla", mode: str = "sibson",

@@ -107,7 +107,7 @@ def sharded_interpolate_field(points, values, grid: Grid, mesh: Mesh,
 def sharded_grid_interpolate(points, values, grid: Grid, mesh: Mesh,
                              method: str = "sibson", k: int = 50,
                              power: float = 2.0,
-                             block=(4, 8, 16), recall_target: float = 0.9,
+                             block=(8, 8, 16), recall_target: float = 0.9,
                              group: int = 8, margin_factor: float = 1.45,
                              tau_mode: str = "bisect",
                              axis_name: str = DATA_AXIS):
