@@ -26,18 +26,16 @@ import os
 import sys
 import time
 
-os.environ.setdefault("XLA_FLAGS", "")
-if "--xla_force_host_platform_device_count" not in os.environ["XLA_FLAGS"]:
-    os.environ["XLA_FLAGS"] += " --xla_force_host_platform_device_count=8"
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
 
 def main():
-    import jax
-    jax.config.update("jax_platforms", "cpu")
+    # the shared helper applies XLA_FLAGS + the jax_platforms pin AND
+    # fails loudly if a non-CPU backend was initialized first
+    import __graft_entry__
+    jax = __graft_entry__._force_virtual_cpu(8)
     import jax.numpy as jnp
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 

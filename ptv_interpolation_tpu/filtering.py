@@ -25,6 +25,8 @@ import numpy as np
 from ptv_interpolation_tpu.io.csvio import PointCloud
 from ptv_interpolation_tpu.ops.neighbors import (
     bruteforce_tile_fn,
+    build_cell_list,
+    celllist_tile_fn,
     map_query_tiles,
 )
 
@@ -49,10 +51,13 @@ def speed_threshold_mask(values, max_speed):
 
 @functools.partial(jax.jit, static_argnames=("k", "query_tile"))
 def knn_mad_mask(points, values, k: int = 25, threshold: float = 3.0,
-                 query_tile: int = 1024):
+                 query_tile: int = 1024, cells=None):
     """Keep mask of the k-NN median/MAD filter (`filtering.py:5-58`),
     exact brute-force formulation (small clouds / parity tests; the
-    pipeline uses :func:`knn_mad_mask_scatter` at scale).
+    pipeline uses :func:`knn_mad_mask_scatter` at scale). With ``cells``
+    (a prebuilt :class:`CellList`) the neighbor search runs through the
+    generic cell-list path instead of the O(N²) brute force — the escape
+    hatch for large clouds the scatter-block kernel rejects.
 
     Queries the k+1 nearest (self included, then dropped — reference
     `filtering.py:26-30`), computes the neighborhood speed median and MAD,
@@ -66,7 +71,10 @@ def knn_mad_mask(points, values, k: int = 25, threshold: float = 3.0,
     v = jnp.asarray(values, jnp.float32)
     speed = jnp.sqrt(jnp.sum(v * v, axis=-1))
 
-    neighbor = bruteforce_tile_fn(pts, k + 1)
+    if cells is not None:
+        neighbor = celllist_tile_fn(cells, k + 1, rings=1)
+    else:
+        neighbor = bruteforce_tile_fn(pts, k + 1)
 
     def tile(q_tile):
         sq, idx = neighbor(q_tile)
@@ -126,11 +134,12 @@ def knn_mad_mask_scatter(points, values, k: int = 25, threshold: float = 3.0,
     gather-bound generic path.
 
     Keep/drop decisions are robust to the approximate top-k (the MAD
-    statistics barely move when a far neighbor is swapped in): at the
-    default ``recall_target=0.95`` decisions match ``exact_topk=True`` on
-    ≥99.9% of points (characterized in tests/test_filtering.py and
-    BASELINE.md). ``kwargs`` (``exact_topk``, ``recall_target``, ...)
-    forward to :func:`scatter_knn_apply`."""
+    statistics barely move when a far neighbor is swapped in): even at
+    ``recall_target=0.95`` decisions match ``exact_topk=True`` on ≥99.9%
+    of points (characterized in tests/test_filtering.py), and the shipped
+    default is the tighter ``recall_target=0.99``. ``kwargs``
+    (``exact_topk``, ``recall_target``, ...) forward to
+    :func:`scatter_knn_apply`."""
     from ptv_interpolation_tpu.ops.grid_knn import scatter_knn_apply
 
     pts = np.asarray(points, np.float32)
@@ -160,9 +169,15 @@ def remove_outliers_knn(cloud: PointCloud, k: int = 25, threshold: float = 3.0,
             keep, radius = knn_mad_mask_scatter(cloud.points, cloud.values,
                                                 k=k, threshold=threshold)
         except RowCapacityError:
-            # pathologically clustered cloud: fall back to the exact path
+            # pathologically clustered cloud: fall back to the generic
+            # cell-list path (its per-cell capacity is not bound by the
+            # scatter kernel's 1024-row padding). Brute force here would
+            # be O(N²) — a de-facto hang at the >200k sizes that route
+            # through this branch.
+            cells = build_cell_list(np.asarray(cloud.points, np.float32),
+                                    k_hint=k + 1)
             keep, radius = knn_mad_mask(cloud.points, cloud.values, k=k,
-                                        threshold=threshold)
+                                        threshold=threshold, cells=cells)
     else:
         keep, radius = knn_mad_mask(cloud.points, cloud.values, k=k,
                                     threshold=threshold)

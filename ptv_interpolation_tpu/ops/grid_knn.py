@@ -169,7 +169,7 @@ def _grid_block_weighted_sum(cells: CellList, values_sorted, axes, margin,
     ``tau_mode`` picks how τ is found:
 
     * ``'approx'`` — ``jax.lax.approx_min_k`` at ``recall_target``; the
-      fastest, with recall-dependent selection error.
+      cheapest selection pass, with recall-dependent selection error.
     * ``'bisect'`` — exact τ by monotone counting: c(t) = #{d² ≤ t} is
       bisected on [0, margin²] (24 fused compare+reduce passes — no sort,
       no PartialReduce). Exact to ~margin²·2⁻²⁴, i.e. parity-equivalent
@@ -309,12 +309,15 @@ def _grid_block_weighted_sum(cells: CellList, values_sorted, axes, margin,
     return out[..., :V], out[..., V]
 
 
-def _generic_knn_fallback(points, values, queries, mode: str, power: float):
+def _generic_knn_fallback(points, values, queries, mode: str, power: float,
+                          k: int):
     """Exact per-query interpolation through the generic kNN path — the
-    escape hatch for nodes (or whole clouds) the block kernel can't serve."""
+    escape hatch for nodes (or whole clouds) the block kernel can't serve.
+    Honors the caller's ``k`` (a hardcoded fallback k silently changed the
+    neighbor count, regression)."""
     from ptv_interpolation_tpu.interpolate.knn_weights import (
         idw_interpolate, sibson_interpolate)
-    k = min(50, np.shape(points)[0])
+    k = min(k, np.shape(points)[0])
     if mode == "idw":
         return idw_interpolate(points, values, queries, k=k, power=power)
     return sibson_interpolate(points, values, queries, k=k)
@@ -472,10 +475,12 @@ def grid_weighted_interpolate(points, values, grid: Grid, k: int,
     Pallas kernel (see ``ops/pallas_grid_knn.py`` for its measured
     trade-offs); 'xla' (default) is the production path.
 
-    The default ``tau_mode='bisect'`` gives exact-selection parity with the
-    f64 scipy reference (headline: L2 1.65e-6 / divergence 2.4e-6 — the
-    f32 floor — at 19× the scipy path); ``tau_mode='approx'`` with
-    ``recall_target=0.9`` is the fast mode (~22×, L2 ~5e-3).
+    The default ``tau_mode='bisect'`` gives exact-selection parity with
+    the f64 scipy reference (headline: L2 1.1e-7 / divergence 2.4e-6 — the
+    f32 floor — at 26× the scipy path with the default block);
+    ``tau_mode='approx'`` with ``recall_target=0.9`` trades accuracy
+    (L2 ~5e-3) for a slightly cheaper selection pass — with the tuned
+    block it is no longer faster end-to-end, so prefer the default.
 
     Degrades gracefully on pathologically clustered clouds: if no cell
     resolution satisfies the block kernel's row-capacity bound (e.g. >1024
@@ -492,7 +497,7 @@ def grid_weighted_interpolate(points, values, grid: Grid, k: int,
                             margin_factor)
     except RowCapacityError:
         queries = np.asarray(grid.flat_coords())
-        out = _generic_knn_fallback(points, values, queries, mode, power)
+        out = _generic_knn_fallback(points, values, queries, mode, power, k)
         return jnp.asarray(out).reshape(grid.shape + (-1,))
     (cells, values_sorted, axes, margin, mc, row_len, values_dev) = setup
     out, den = _grid_block_weighted_sum(cells, values_sorted, axes,

@@ -87,12 +87,20 @@ def map_query_tiles(tile_fn, queries: jax.Array, query_tile: int,
     tiles = qrs.reshape(-1, query_tile, 3)
 
     if progress is not None and tiles.shape[0] > batch_tiles:
+        # One jitted macro-batch, reused across this call's batches. (It
+        # cannot be cached across *calls*: tile_fn is a fresh closure per
+        # evaluation, so a new call retraces — acceptable for the opt-in
+        # verbose mode, whose point is feedback on a single long eval.)
         batched = jax.jit(lambda ts: jax.lax.map(tile_fn, ts))
         n_tiles = tiles.shape[0]
         n_full = n_tiles // batch_tiles * batch_tiles
         outs = []
         for start in range(0, n_full, batch_tiles):
             outs.append(batched(tiles[start:start + batch_tiles]))
+            # block before reporting: dispatch is async, so without this
+            # every progress line would print in milliseconds and then the
+            # program would sit silent for the whole actual compute
+            jax.block_until_ready(outs[-1])
             progress(min((start + batch_tiles) * query_tile, n_queries),
                      n_queries)
         if n_full < n_tiles:   # ragged tail: pad to the batch shape

@@ -181,7 +181,7 @@ def test_coverage_sentinel_is_recall_independent():
     vals = np.ones((60000, 3), np.float32)
     grid = create_grid(((0, 49), (0, 49), (0, 49)), 48)
     setup = _host_setup(pts, vals, grid, 50, None, None, (4, 8, 16), 1.45)
-    cells, values_sorted, axes, margin, mc, row_len = setup
+    cells, values_sorted, axes, margin, mc, row_len, _ = setup
     _, den = _grid_block_weighted_sum(
         cells, values_sorted, axes, jnp.float32(margin), 50, (4, 8, 16),
         grid.shape, mc, row_len, _sibson_panel_weights(),
