@@ -157,12 +157,10 @@ def scenario_4(n_points=500_000, n=128):
     maskf = fluid.astype(np.float32)
 
     def run():
-        # porous clouds favor flatter z-blocks: (8,8,16) (the uniform-
-        # cloud headline optimum) measured 4.8 s here vs 3.4 s for
-        # (4,8,16) — taller blocks span more mask variation and inflate
-        # the shared candidate region's row capacity
+        # skip_mask also triggers the porous block auto-pick (4,8,16) —
+        # measured 3.4 s vs 4.8 s for the uniform-cloud (8,8,16) here
         out = sibson_grid_interpolate(pts, vals, grid, k=50,
-                                       skip_mask=~fluid, block=(4, 8, 16))
+                                       skip_mask=~fluid)
         res = clean_divergence_variational(
             out[..., 0] * maskf, out[..., 1] * maskf, out[..., 2] * maskf,
             fluid, *grid.spacing, lambda_reg=200.0, maxiter=300)
@@ -196,9 +194,8 @@ def scenario_5():
     log("scenario 5: full pipeline (warmup)...")
 
     def run():
-        # block choice: see scenario_4's note (porous-geometry optimum)
         out = sibson_grid_interpolate(pts, vals, grid, k=50,
-                                       skip_mask=~fluid, block=(4, 8, 16))
+                                       skip_mask=~fluid)
         u = out[..., 0] * maskf
         v = out[..., 1] * maskf
         w = out[..., 2] * maskf
