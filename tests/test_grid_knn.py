@@ -209,6 +209,39 @@ def test_sparse_neighborhoods_finite_and_exact():
     np.testing.assert_allclose(out_s, 5.0, rtol=1e-5)
 
 
+def test_skip_mask_skips_repair_but_preserves_kept_nodes():
+    """skip_mask excludes nodes from exact repair (they will be
+    overwritten by the caller); nodes outside the mask must still match
+    the exact oracle, including repaired far-field ones."""
+    rng = np.random.default_rng(40)
+    pts = rng.uniform(0, 20, size=(15000, 3)).astype(np.float32)
+    vals = np.full((15000, 3), 3.0, np.float32)
+    grid = create_grid(((0, 65), (0, 65), (0, 65)), 32)
+    # nodes beyond x≈20 are far-field; mark the top half as discarded
+    skip = np.zeros(grid.shape, bool)
+    skip[:, :, 20:] = True
+    out = np.asarray(idw_grid_interpolate(pts, vals, grid, k=15,
+                                          skip_mask=skip))
+    # kept nodes (incl. repaired far-field columns 10..19) are exact
+    np.testing.assert_allclose(out[:, :, :20], 3.0, rtol=1e-5)
+    assert np.isfinite(out).all()
+
+
+def test_bisect_sparse_k_exceeds_coverage():
+    """k close to the cloud size: most nodes are uncovered (count < k
+    inside the margin) and must be repaired to match the generic oracle."""
+    rng = np.random.default_rng(41)
+    pts = rng.uniform(0, 16, size=(300, 3)).astype(np.float32)
+    vals = np.stack([np.sin(pts[:, 0]), np.cos(pts[:, 1]),
+                     np.ones(300)], -1).astype(np.float32)
+    grid = create_grid(((0, 17),) * 3, 16)
+    got = np.asarray(sibson_grid_interpolate(pts, vals, grid,
+                                             k=100)).reshape(-1, 3)
+    want = np.asarray(sibson_interpolate(pts, vals, grid.flat_coords(),
+                                         k=100))
+    _assert_almost_all_close(got, want)
+
+
 def test_clustered_cloud_refines_instead_of_failing():
     """Round-1 weak item: >1024 points in one candidate row used to raise
     ValueError. Near-wall PTV clustering must auto-refine the cell list."""
