@@ -109,7 +109,7 @@ def sharded_grid_interpolate(points, values, grid: Grid, mesh: Mesh,
                              power: float = 2.0,
                              block=(8, 8, 16), recall_target: float = 0.9,
                              group: int = 8, margin_factor: float = 1.45,
-                             tau_mode: str = "bisect",
+                             tau_mode: str = "bisect", skip_mask=None,
                              axis_name: str = DATA_AXIS):
     """The block-centric τ-threshold kernel sharded over the mesh.
 
@@ -173,7 +173,7 @@ def sharded_grid_interpolate(points, values, grid: Grid, mesh: Mesh,
     out = out.reshape(nz_pad, grid.ny, grid.nx, -1)[: grid.nz]
     return repair_empty_nodes(out[..., :-1], out[..., -1], points, values_dev,
                               grid, k, method, power, cells=cells,
-                              margin=margin)
+                              margin=margin, skip_mask=skip_mask)
 
 
 # ---------------------------------------------------------------------------
