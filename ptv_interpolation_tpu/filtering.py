@@ -49,9 +49,9 @@ def speed_threshold_mask(values, max_speed):
     return speed <= max_speed
 
 
-@functools.partial(jax.jit, static_argnames=("k", "query_tile"))
+@functools.partial(jax.jit, static_argnames=("k", "query_tile", "rings"))
 def knn_mad_mask(points, values, k: int = 25, threshold: float = 3.0,
-                 query_tile: int = 1024, cells=None):
+                 query_tile: int = 1024, cells=None, rings: int = 1):
     """Keep mask of the k-NN median/MAD filter (`filtering.py:5-58`),
     exact brute-force formulation (small clouds / parity tests; the
     pipeline uses :func:`knn_mad_mask_scatter` at scale). With ``cells``
@@ -72,7 +72,7 @@ def knn_mad_mask(points, values, k: int = 25, threshold: float = 3.0,
     speed = jnp.sqrt(jnp.sum(v * v, axis=-1))
 
     if cells is not None:
-        neighbor = celllist_tile_fn(cells, k + 1, rings=1)
+        neighbor = celllist_tile_fn(cells, k + 1, rings=rings)
     else:
         neighbor = bruteforce_tile_fn(pts, k + 1)
 
@@ -171,11 +171,18 @@ def remove_outliers_knn(cloud: PointCloud, k: int = 25, threshold: float = 3.0,
         except RowCapacityError:
             # pathologically clustered cloud: fall back to the generic
             # cell-list path (its per-cell capacity is not bound by the
-            # scatter kernel's 1024-row padding). Brute force here would
-            # be O(N²) — a de-facto hang at the >200k sizes that route
-            # through this branch.
-            cells = build_cell_list(np.asarray(cloud.points, np.float32),
-                                    k_hint=k + 1)
+            # scatter kernel's 1024-row padding) — but keep the candidate
+            # panel bounded: the (2r+1)³·cap gather pads to 128 lanes on
+            # TPU, so an unbounded cap OOMs before it is slow. When even
+            # the cell list cannot bound the panel (cap is a global max),
+            # the streamed brute-force tile loop is the exact, memory-
+            # bounded answer — slow at this size, but these clouds are
+            # pathological by construction (the scatter kernel already
+            # refused them after refinement).
+            pts_np = np.asarray(cloud.points, np.float32)
+            cells = build_cell_list(pts_np, k_hint=k + 1)
+            if 27 * cells.cap > 16384:
+                cells = None
             keep, radius = knn_mad_mask(cloud.points, cloud.values, k=k,
                                         threshold=threshold, cells=cells)
     else:

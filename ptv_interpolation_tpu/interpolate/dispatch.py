@@ -74,6 +74,17 @@ def interpolate_values(points, values, queries, method: str = "linear",
             return None
         if cells is None:
             cells = build_cell_list(np.asarray(points), k_hint=k)
+            # bound the (2r+1)³·cap candidate panel: on clustered clouds
+            # (e.g. boundary particles dense on an interface) the auto
+            # cell size can hold thousands of points per cell, and the
+            # per-tile candidate gather pads its last dim to 128 lanes
+            # under the TPU (8,128) tiling — an unbounded panel OOM-ed a
+            # v5e chip at 105k candidates. `cap` is a global max, so cell
+            # refinement cannot bound it for genuinely clustered clouds;
+            # the exact answer at this path's moderate N is the streamed
+            # brute-force tile loop (memory O(tile·chunk), no panel).
+            if (2 * rings + 1) ** 3 * cells.cap > 16384:
+                cells = None
         return cells
 
     if method == "sibson":

@@ -425,11 +425,18 @@ def repair_empty_nodes(out, den, points, values, grid: Grid, k: int,
         # margin = 1.45·r_k, so 1.6·margin ≈ 2.3·r_k covers it with slack
         rings = int(math.ceil(1.6 * float(margin) / cell_size))
         n_cand = (2 * rings + 1) ** 3 * cells.cap
-        if rings <= 6 and n_cand <= 131072:
+        # eligibility bound: the per-tile candidate gather materializes as
+        # an (tile·n_cand, 3) array whose last dim pads to 128 lanes under
+        # the TPU (8,128) tiling — a 131072-candidate panel at tile 512
+        # padded to 27.6 GB and OOM-ed the chip (clustered boundary
+        # particles inflate cells.cap). 16384 × tile 256 caps the padded
+        # intermediate at ~2 GB; bigger neighborhoods fall through to the
+        # chunked brute-force stage, which streams points instead.
+        if rings <= 6 and n_cand <= 16384:
             qp, m = _pad_pow2(queries)
             vals_s1, good = _celllist_repair_eval(
                 cells, values, qp, kk, rings, mode, float(power),
-                jnp.float32(rings * cell_size))
+                jnp.float32(rings * cell_size), query_tile=256)
             good = np.asarray(good)[:m]
             fixed[good] = np.asarray(vals_s1)[:m][good]
             todo = todo[~good]
