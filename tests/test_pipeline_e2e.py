@@ -65,7 +65,10 @@ def test_cli_subprocess(dataset):
            "--divergence-free", "--cleaning-method", "variational",
            "--cleaning-lambda", "100",
            "--output-npz", npz, "--output-tif", out_tif, "--no-plot"]
-    proc = subprocess.run(cmd, capture_output=True, text=True, timeout=600)
+    # 1200 s: the subprocess pays a fresh jax import + CPU compiles on a
+    # single-core host whose speed varies ~2x with ambient load — 600 s
+    # flaked while the same run passed in ~300 s on a quiet host
+    proc = subprocess.run(cmd, capture_output=True, text=True, timeout=1200)
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert os.path.exists(npz) and os.path.exists(out_tif)
     assert "VARIATIONAL CLEANING COMPLETE" in proc.stdout
