@@ -44,6 +44,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Number of neighbors for IDW")
     p.add_argument("--sibson-neighbors", type=int, default=30,
                    help="Number of neighbors for Sibson interpolation")
+    p.add_argument("--tau-mode", choices=["bisect", "approx", "exact"],
+                   default="bisect",
+                   help="Grid-kernel k-th-distance selection: 'bisect' "
+                        "(exact, default), 'approx' (approx_min_k fast "
+                        "mode), 'exact' (top_k oracle)")
     p.add_argument("--cubic-fallback", action="store_true",
                    help="method=cubic is 2D-only in scipy griddata; opt in "
                         "to the documented 3D substitute (rbf kernel=cubic)")
@@ -85,7 +90,7 @@ def main(argv=None):
         smoothing=args.smoothing, idw_power=args.idw_power,
         idw_neighbors=args.idw_neighbors,
         sibson_neighbors=args.sibson_neighbors,
-        cubic_fallback=args.cubic_fallback,
+        cubic_fallback=args.cubic_fallback, tau_mode=args.tau_mode,
         boundary_particles=args.boundary_particles,
         boundary_sampling=args.boundary_sampling,
         boundary_thickness=args.boundary_thickness,

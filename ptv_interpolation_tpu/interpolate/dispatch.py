@@ -145,7 +145,7 @@ _GRID_FASTPATH_MIN_WORK = 2 ** 33  # Q·N above which the block kernel wins
 
 def interpolate_field(points, values, grid: Grid, method: str = "linear",
                       use_grid_kernel: str = "auto", skip_mask=None,
-                      **kwargs):
+                      tau_mode: str = "bisect", **kwargs):
     """Interpolate onto a :class:`Grid`; returns ``(U, V, W)`` arrays of
     shape ``grid.shape`` — the reference `interpolate_field` contract
     (`interpolator.py:65-203`).
@@ -172,12 +172,13 @@ def interpolate_field(points, values, grid: Grid, method: str = "linear",
         if method == "idw":
             out = idw_grid_interpolate(
                 points, values, grid, k=min(kwargs.get("idw_neighbors", 50), n_pts),
-                power=kwargs.get("idw_power", 2.0), skip_mask=skip_mask)
+                power=kwargs.get("idw_power", 2.0), skip_mask=skip_mask,
+                tau_mode=tau_mode)
         elif method == "sibson":
             out = sibson_grid_interpolate(
                 points, values, grid,
                 k=min(kwargs.get("sibson_neighbors", 30), n_pts),
-                skip_mask=skip_mask)
+                skip_mask=skip_mask, tau_mode=tau_mode)
         else:
             from ptv_interpolation_tpu.interpolate.rbf_local import (
                 rbf_local_grid_interpolate)

@@ -190,6 +190,7 @@ def idw_grid_interpolate(points, values, grid, k: int = 50,
         grid_knn_apply, grid_weighted_interpolate)
     if exact_topk:
         kwargs.pop("skip_mask", None)   # gather path has no repair stage
+        kwargs.pop("tau_mode", None)    # ... nor a tau threshold
         return grid_knn_apply(points, values, grid, k,
                               _idw_consume(float(power)),
                               out_dim=np.shape(values)[1], exact_topk=True,
@@ -208,6 +209,7 @@ def sibson_grid_interpolate(points, values, grid, k: int = 30,
         grid_knn_apply, grid_weighted_interpolate)
     if exact_topk:
         kwargs.pop("skip_mask", None)   # gather path has no repair stage
+        kwargs.pop("tau_mode", None)    # ... nor a tau threshold
         return grid_knn_apply(points, values, grid, k, _sibson_consume(),
                               out_dim=np.shape(values)[1], exact_topk=True,
                               needs_positions=False, **kwargs)

@@ -58,6 +58,9 @@ class PipelineConfig:
     idw_neighbors: int = 50
     sibson_neighbors: int = 30
     cubic_fallback: bool = False
+    # k-th-distance selection of the grid kernel: 'bisect' (exact, the
+    # default), 'approx' (approx_min_k fast mode), 'exact' (top_k oracle)
+    tau_mode: str = "bisect"
     boundary_particles: bool = False
     boundary_sampling: int = 1
     boundary_thickness: int = 1
@@ -231,6 +234,7 @@ def _run_pipeline_stages(config: PipelineConfig, cloud, mask_raw,
             idw_neighbors=config.idw_neighbors,
             sibson_neighbors=config.sibson_neighbors,
             cubic_fallback=config.cubic_fallback, verbose=v,
+            tau_mode=config.tau_mode,
             # solid voxels are zeroed in step 7 — exact repair of uncovered
             # solid-interior nodes would be discarded work
             skip_mask=(~mask if mask_raw is not None else None))
