@@ -57,6 +57,12 @@ class AnalyzeConfig:
     flow_type: bool = False                   # --plot-flowtype side effect
     output_npz: Optional[str] = None
     save_tiffs: bool = True
+    # per-field TIFF redirects (`/root/reference/analyze_flow.py:210-213`);
+    # None → "<basename>_<field>.tif"
+    output_tif_strain: Optional[str] = None
+    output_tif_dissipation: Optional[str] = None
+    output_tif_vorticity: Optional[str] = None
+    output_tif_pressure: Optional[str] = None
     save_stats: bool = True
     verbose: bool = True
 
@@ -163,7 +169,8 @@ def run_analysis(config: AnalyzeConfig, field=None, timings=None):
         log(f"  Max:  {strain_rate.max():.4e} 1/s")
         if config.save_tiffs:
             with timings.stage("tiff_io"):
-                write_tiff(f"{basename}_strain.tif", strain_rate.astype(np.float32))
+                write_tiff(config.output_tif_strain or f"{basename}_strain.tif",
+                           strain_rate.astype(np.float32))
 
     dissipation = None
     if config.dissipation:
@@ -178,7 +185,9 @@ def run_analysis(config: AnalyzeConfig, field=None, timings=None):
         log(f"  Total dissipation: {vd.sum() * dx * dy * dz:.6e} W")
         if config.save_tiffs:
             with timings.stage("tiff_io"):
-                write_tiff(f"{basename}_dissipation.tif", dissipation.astype(np.float32))
+                write_tiff(config.output_tif_dissipation
+                           or f"{basename}_dissipation.tif",
+                           dissipation.astype(np.float32))
 
     vorticity_magnitude = None
     if config.vorticity:
@@ -189,7 +198,8 @@ def run_analysis(config: AnalyzeConfig, field=None, timings=None):
         log(f"  Mean: {(vorticity_magnitude[mask] if mask is not None else vorticity_magnitude).mean():.4e} 1/s")
         if config.save_tiffs:
             with timings.stage("tiff_io"):
-                write_tiff(f"{basename}_vorticity.tif",
+                write_tiff(config.output_tif_vorticity
+                           or f"{basename}_vorticity.tif",
                            vorticity_magnitude.astype(np.float32))
 
     pressure = None
@@ -217,7 +227,9 @@ def run_analysis(config: AnalyzeConfig, field=None, timings=None):
                 log(f"  ΔP_{name}: N/A (Solid boundary)")
         if config.save_tiffs:
             with timings.stage("tiff_io"):
-                write_tiff(f"{basename}_pressure.tif", pressure.astype(np.float32))
+                write_tiff(config.output_tif_pressure
+                           or f"{basename}_pressure.tif",
+                           pressure.astype(np.float32))
 
     if config.permeability_dissipation or config.permeability_pressure:
         log("\n=== Estimating Permeability ===")

@@ -42,6 +42,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output-npz", default=None)
     p.add_argument("--no-output-npz", action="store_const", const="",
                    dest="output_npz")
+    # per-field TIFF redirects (`/root/reference/analyze_flow.py:210-213`);
+    # default None → "<basename>_<field>.tif"
+    p.add_argument("--output-tif-strain", default=None,
+                   help="Output TIFF file for strain rate field")
+    p.add_argument("--output-tif-dissipation", default=None,
+                   help="Output TIFF file for dissipation field")
+    p.add_argument("--output-tif-vorticity", default=None,
+                   help="Output TIFF file for vorticity magnitude field")
+    p.add_argument("--output-tif-pressure", default=None,
+                   help="Output TIFF file for pressure field")
     # visualization
     p.add_argument("--plot-strain", action="store_true", default=False)
     p.add_argument("--plot-dissipation", action="store_true", default=False)
@@ -101,6 +111,10 @@ def main(argv=None):
         voxel_size=args.voxel_size, dt=args.dt,
         flow_type=args.plot_flowtype, output_npz=output_npz,
         save_tiffs=args.save_tiffs,
+        output_tif_strain=args.output_tif_strain,
+        output_tif_dissipation=args.output_tif_dissipation,
+        output_tif_vorticity=args.output_tif_vorticity,
+        output_tif_pressure=args.output_tif_pressure,
     )
     results, _ = run_analysis(config)
 

@@ -2,6 +2,7 @@
 
 from ptv_interpolation_tpu.parallel.mesh import (
     DATA_AXIS,
+    initialize_distributed,
     make_mesh,
     replicated,
     row_sharded,
@@ -15,6 +16,7 @@ from ptv_interpolation_tpu.parallel.sharding import (
 
 __all__ = [
     "DATA_AXIS",
+    "initialize_distributed",
     "make_mesh",
     "replicated",
     "row_sharded",

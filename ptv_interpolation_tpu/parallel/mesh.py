@@ -18,9 +18,58 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 
+_DISTRIBUTED_INITIALIZED = False
+
+
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> bool:
+    """Multi-host bootstrap: `jax.distributed.initialize()` driven by
+    arguments or environment.
+
+    The reference is single-host (its only parallelism is a fork pool,
+    `/root/reference/interpolator.py:173-182`); the TPU-native distributed
+    backend is JAX's built-in one — GSPMD collectives ride ICI within a
+    slice and DCN across slices, with no NCCL/MPI analogue to manage. On
+    Cloud TPU pods `jax.distributed.initialize()` discovers everything from
+    the TPU environment, so all three arguments may be None; on other
+    clusters set them (or the standard ``JAX_COORDINATOR_ADDRESS`` /
+    ``JAX_NUM_PROCESSES`` / ``JAX_PROCESS_ID`` environment variables JAX
+    reads itself).
+
+    Call once per process, before :func:`make_mesh` — afterwards
+    ``jax.devices()`` spans the whole job and every mesh/pjit path in
+    ``parallel/`` works unchanged across hosts (shardings are laid out so
+    the z-slab halos and psums stay on ICI; only cross-slice traffic
+    touches DCN). Returns True if initialization ran, False if it was
+    already done or this is a plainly single-process environment.
+    """
+    global _DISTRIBUTED_INITIALIZED
+    if _DISTRIBUTED_INITIALIZED:
+        return False
+    import os
+    env_hints = any(k in os.environ for k in (
+        "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS", "MEGASCALE_COORDINATOR_ADDRESS",
+        "TPU_WORKER_HOSTNAMES", "TPU_WORKER_ID"))
+    if coordinator_address is None and num_processes is None and not env_hints:
+        return False  # single-process: nothing to do
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = int(num_processes)
+    if process_id is not None:
+        kwargs["process_id"] = int(process_id)
+    jax.distributed.initialize(**kwargs)
+    _DISTRIBUTED_INITIALIZED = True
+    return True
+
 
 def make_mesh(n_devices: Optional[int] = None, axis_name: str = DATA_AXIS) -> Mesh:
-    """A 1D mesh over (the first ``n_devices``) available devices."""
+    """A 1D mesh over (the first ``n_devices``) available devices.
+
+    In a multi-host job (after :func:`initialize_distributed`) this spans
+    every device in the job, not just the local ones."""
     devices = jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]

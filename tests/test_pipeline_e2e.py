@@ -83,6 +83,7 @@ def test_analysis_pipeline_on_result(dataset, tmp_path):
     config = AnalyzeConfig(input=npz, voxel_size=1e-5, dt=2.0,
                            drag_method="mesh", verbose=False,
                            output_npz=str(tmp_path / "analysis.npz"),
+                           output_tif_strain=str(tmp_path / "custom_strain.tif"),
                            flow_type=True)
     results, log = run_analysis(config)
     for key in ("strain_rate", "dissipation", "vorticity_magnitude",
@@ -95,6 +96,11 @@ def test_analysis_pipeline_on_result(dataset, tmp_path):
     # artifacts
     assert os.path.exists(tmp_path / "analysis.npz")
     assert os.path.exists(tmp_path / "out_stats.txt")
+    # --output-tif-strain redirect honored; the others fall back to
+    # <basename>_<field>.tif (`/root/reference/analyze_flow.py:210-213`)
+    assert os.path.exists(tmp_path / "custom_strain.tif")
+    assert not os.path.exists(tmp_path / "out_strain.tif")
+    assert os.path.exists(tmp_path / "out_vorticity.tif")
     assert any("porosity" in line.lower() for line in log)
 
 

@@ -125,3 +125,34 @@ def test_sharded_grid_kernel_void_region_matches_single_device():
     assert got[..., 2].min() > 0.5
     close = np.isclose(got, want, rtol=1e-3, atol=1e-4)
     assert close.mean() > 0.999
+
+
+def test_initialize_distributed_noop_single_process(monkeypatch):
+    """Multi-host bootstrap (`parallel.initialize_distributed`): with no
+    coordinator arguments and no cluster environment it must be a no-op
+    (single-process short-circuit) and must never call
+    jax.distributed.initialize; with explicit arguments it forwards them."""
+    import jax
+
+    from ptv_interpolation_tpu.parallel import mesh as mesh_mod
+
+    for k in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+              "MEGASCALE_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES",
+              "TPU_WORKER_ID"):
+        monkeypatch.delenv(k, raising=False)
+    calls = []
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda **kw: calls.append(kw))
+    monkeypatch.setattr(mesh_mod, "_DISTRIBUTED_INITIALIZED", False)
+    assert mesh_mod.initialize_distributed() is False
+    assert calls == []
+    # explicit arguments forward to jax.distributed.initialize
+    assert mesh_mod.initialize_distributed(
+        coordinator_address="10.0.0.1:1234", num_processes=2,
+        process_id=0) is True
+    assert calls == [{"coordinator_address": "10.0.0.1:1234",
+                      "num_processes": 2, "process_id": 0}]
+    # second call is a no-op once initialized
+    assert mesh_mod.initialize_distributed(
+        coordinator_address="10.0.0.1:1234") is False
+    assert len(calls) == 1
