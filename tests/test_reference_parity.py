@@ -64,6 +64,9 @@ def _rel_l2(a, b):
     ("idw", (), {}),
     ("sibson", (), {}),
     ("linear", (), {}),
+    # the reference's most complex pipeline mode: chunked RBFInterpolator
+    # evaluation + NaN fill + mask zeroing (`interpolator.py:157-195`)
+    ("rbf", (), {}),
 ])
 def test_field_parity_vs_reference(dataset, tmp_path, method, extra_ref, cfg):
     d, csv, tif = dataset
