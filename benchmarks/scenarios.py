@@ -145,11 +145,16 @@ def scenario_3(n_points=500_000, n=128):
 
 
 def scenario_4(n_points=500_000, n=128):
-    """Divergence-free interpolation + flux corrections."""
+    """Divergence-free (solenoidal) local-RBF interpolation + flux
+    corrections — BASELINE.json config 4. Interpolation is local kNN-RBF
+    (k=20, the reference's `--rbf-neighbors` default, `main.py:34`);
+    cleaning runs to the reference's own variational budget
+    (`tol=1e-8, maxiter=2000`, `/root/reference/physics.py:485`), not a
+    capped iteration count, so the speedup is quoted at equal convergence."""
     from ptv_interpolation_tpu.cli.tools import calculate_flux_xy
     from ptv_interpolation_tpu.grid import create_grid
-    from ptv_interpolation_tpu.interpolate.knn_weights import (
-        sibson_grid_interpolate)
+    from ptv_interpolation_tpu.interpolate.rbf_local import (
+        rbf_local_grid_interpolate)
     from ptv_interpolation_tpu.physics import clean_divergence_variational
 
     pts, vals, fluid = porous_problem(n_points, n)
@@ -157,13 +162,10 @@ def scenario_4(n_points=500_000, n=128):
     maskf = fluid.astype(np.float32)
 
     def run():
-        # skip_mask also triggers the porous block auto-pick (4,8,16) —
-        # measured 3.4 s vs 4.8 s for the uniform-cloud (8,8,16) here
-        out = sibson_grid_interpolate(pts, vals, grid, k=50,
-                                       skip_mask=~fluid)
+        out = rbf_local_grid_interpolate(pts, vals, grid, k=20)
         res = clean_divergence_variational(
             out[..., 0] * maskf, out[..., 1] * maskf, out[..., 2] * maskf,
-            fluid, *grid.spacing, lambda_reg=200.0, maxiter=300)
+            fluid, *grid.spacing, lambda_reg=200.0, tol=1e-8, maxiter=2000)
         return res
 
     res, wall = _timed(run)
@@ -172,35 +174,57 @@ def scenario_4(n_points=500_000, n=128):
     var = float(flux.std() / abs(flux.mean()) * 100)
     emit("4_divfree_with_flux_correction", wall,
          {"div_reduction_x": round(red, 2),
-          "flux_variation_pct": round(var, 2)})
+          "flux_variation_pct": round(var, 2),
+          "cg_iterations": int(res.cg_iterations),
+          "converged": bool(res.converged)})
 
 
-def scenario_5():
-    """Full porous pipeline at 256³: filter → sibson → mask → variational
-    cleaning → flux + divergence analysis (the production shape)."""
-    from ptv_interpolation_tpu.grid import create_grid
+def scenario_5(n_points=1_000_000, n=256):
+    """Full porous pipeline at 256³: MAD filter → boundary particles →
+    sibson → mask → variational cleaning → flux + divergence analysis —
+    the production flag set of
+    `/root/reference/interpolate_porous_glass.py:58-76` (sibson k=50,
+    variational λ=200, boundary particles stride 50 / thickness 2, outlier
+    filter k=30 / thr 4 / vmax 5) on the synthetic porous problem."""
+    from ptv_interpolation_tpu.filtering import FilterConfig, apply_filters
+    from ptv_interpolation_tpu.grid import create_grid, extract_boundary_particles
     from ptv_interpolation_tpu.interpolate.knn_weights import (
         sibson_grid_interpolate)
+    from ptv_interpolation_tpu.io.csvio import PointCloud
     from ptv_interpolation_tpu.ops.stencils import consistent_divergence
     from ptv_interpolation_tpu.physics import clean_divergence_variational
 
-    import jax
-
-    n = 256
-    pts, vals, fluid = porous_problem(1_000_000, n)
+    pts, vals, fluid = porous_problem(n_points, n)
     grid = create_grid(((0, n + 1), (0, n + 1), (0, n + 1)), n)
     maskf = fluid.astype(np.float32)
+
+    log(f"scenario 5: MAD-filtering {len(pts)} points...")
+    t0 = time.time()
+    cloud = apply_filters(
+        PointCloud(pts, vals),
+        FilterConfig(filter_outliers=True, filter_neighbors=30,
+                     filter_threshold=4.0, filter_max_speed=5.0),
+        verbose=False)
+    t_filter = time.time() - t0
+
+    bx, by, bz = extract_boundary_particles(fluid, grid.bounds,
+                                            sampling_step=50, thickness=2)
+    bpts = np.stack([bx, by, bz], axis=-1).astype(np.float32)
+    all_pts = np.concatenate([np.asarray(cloud.points), bpts])
+    all_vals = np.concatenate([np.asarray(cloud.values),
+                               np.zeros((len(bpts), 3), np.float32)])
 
     log("scenario 5: full pipeline (warmup)...")
 
     def run():
-        out = sibson_grid_interpolate(pts, vals, grid, k=50,
+        out = sibson_grid_interpolate(all_pts, all_vals, grid, k=50,
                                        skip_mask=~fluid)
         u = out[..., 0] * maskf
         v = out[..., 1] * maskf
         w = out[..., 2] * maskf
         res = clean_divergence_variational(u, v, w, fluid, *grid.spacing,
-                                           lambda_reg=200.0, maxiter=200)
+                                           lambda_reg=200.0, tol=1e-8,
+                                           maxiter=2000)
         div = consistent_divergence(res.u, res.v, res.w, fluid,
                                     *grid.spacing)
         q_z = res.w.sum(axis=(1, 2))
@@ -211,7 +235,11 @@ def scenario_5():
     q = np.asarray(q_z)
     emit("5_porous_pipeline_256", wall,
          {"div_reduction_x": round(red, 2),
-          "flux_variation_pct": round(float(q.std() / abs(q.mean()) * 100), 2)})
+          "flux_variation_pct": round(float(q.std() / abs(q.mean()) * 100), 2),
+          "filter_s": round(t_filter, 3),
+          "kept": len(cloud), "boundary_particles": len(bpts),
+          "cg_iterations": int(res.cg_iterations),
+          "converged": bool(res.converged)})
 
 
 def main():
