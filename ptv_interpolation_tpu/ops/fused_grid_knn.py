@@ -1,0 +1,432 @@
+"""Fused two-phase grid kNN: compact candidate gather (XLA) + VMEM-resident
+τ-bisection weighted sum (Pallas).
+
+Why this exists — the roofline of the one-phase XLA kernel
+(``ops/grid_knn.py::_grid_block_weighted_sum``): its (B, C) distance panel
+(≈16 MB at the 1M→256³/k=50 bench geometry) is materialized in HBM and
+re-streamed by each of the 24 τ-bisection counting passes, ≈6–7 TB of HBM
+traffic over the 16 384 blocks — at v5e's ~0.8 TB/s that IS the measured
+~8 s wall. This module restructures the same math so the panel is read
+O(1) times from HBM:
+
+* **Phase 1 (XLA)** gathers each block's candidate rows once and writes a
+  *compacted* per-block panel ``(n_blocks, 8, C)`` — rows x,y,z,u,v,w,0,0,
+  invalid slots filled with far sentinels. Compaction (cumsum over the
+  block's CSR rows + a vectorized slot→row search) shrinks C from
+  ``n_rows × row_capacity`` (max-padded, ~4k) to the actual candidate
+  count (~1.3k): ~3× less panel work for phase 2.
+* **Phase 2 (Pallas)** runs per block entirely in VMEM: the (Bt, C)
+  distance sub-panel is built once in scratch, the 24 bisection passes are
+  a ``lax.fori_loop`` over that VMEM panel (multi-pass is free on-chip),
+  weights and the exact per-channel f32 VPU reductions follow in place.
+  HBM traffic per block collapses from ~400 MB to ~50 KB.
+
+Selection math is identical to the XLA path's ``tau_mode='bisect'``
+(monotone counting of ``#{d² ≤ t}``, 24 halvings of [0, margin²] — exact
+k-th distance to ~margin²·2⁻²⁴, i.e. parity-equivalent to exact top-k),
+and the coverage sentinel / ``repair_empty_nodes`` escape hatch is shared
+unchanged. The 24 unrolled compare+reduce passes that inflated the XLA
+HLO (and drove the ~10-minute cold remote compiles recorded in round 2)
+become one small fori_loop in Mosaic.
+
+Reference parity target: the sibson/IDW weight math of
+`/root/reference/interpolator.py:83-155` (same formulas as
+``interpolate/knn_weights.py``).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ptv_interpolation_tpu.grid import Grid
+
+
+_SENTINEL = 1e19          # sentinel coordinate → d² ≈ 1e38, never selected
+_EPS = 1e-10              # reference's weight epsilon (interpolator.py:106)
+_BISECT_ITERS = 24
+
+
+def _block_counts(n: int, b: int) -> int:
+    return (n + b - 1) // b
+
+
+# ---------------------------------------------------------------------------
+# Phase 1: compact candidate gather (XLA)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=(
+    "block", "grid_shape", "mc", "C", "group"))
+def _compact_gather(cells, values_sorted, axes, margin,
+                    block: Tuple[int, int, int],
+                    grid_shape: Tuple[int, int, int],
+                    mc: Tuple[int, int, int], C: int, group: int):
+    """Per grid block: gather the candidate cell rows once and compact them
+    into an (8, C) panel [x, y, z, u, v, w, 0, 0]; invalid slots get
+    far-sentinel coordinates and zero values. Returns (n_blocks, 8, C)."""
+    bz, by, bx = block
+    nz, ny, nx = grid_shape
+    nbz, nby, nbx = (_block_counts(nz, bz), _block_counts(ny, by),
+                     _block_counts(nx, bx))
+    mcz, mcy, mcx = mc
+    ncx, ncy, ncz = cells.dims
+    R = mcz * mcy
+    x_ax, y_ax, z_ax = axes
+    V = values_sorted.shape[1]
+    n_sent = cells.points_sorted.shape[0] - 1024  # first sentinel row index
+
+    roz = jax.lax.broadcasted_iota(jnp.int32, (mcz, mcy), 0).ravel()
+    roy = jax.lax.broadcasted_iota(jnp.int32, (mcz, mcy), 1).ravel()
+    slots = jnp.arange(C, dtype=jnp.int32)
+
+    def one_block(flat_idx):
+        ibz = flat_idx // (nby * nbx)
+        iby = (flat_idx // nbx) % nby
+        ibx = flat_idx % nbx
+        lo = jnp.stack([x_ax[ibx * bx], y_ax[iby * by], z_ax[ibz * bz]])
+        base = jnp.floor(
+            (lo - margin - cells.origin) * cells.inv_cell).astype(jnp.int32)
+        cz = base[2] + roz
+        cy = base[1] + roy
+        row_ok = (cz >= 0) & (cz < ncz) & (cy >= 0) & (cy < ncy)
+        x0 = jnp.clip(base[0], 0, ncx)
+        x1 = jnp.clip(base[0] + mcx, 0, ncx)
+        rid = (cz * ncy + cy) * ncx
+        start = jnp.where(row_ok, cells.starts[rid + x0], 0)
+        end = jnp.where(row_ok, cells.starts[rid + x1], 0)
+        cnt = end - start                                     # (R,)
+
+        offsets = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(cnt)])    # (R+1,)
+        # slot → source row: #(offsets[1:] <= slot) — R is small (~50), the
+        # dense compare+sum beats a binary search on the VPU
+        row = jnp.sum((slots[:, None] >= offsets[None, 1:]).astype(jnp.int32),
+                      axis=1)                                  # (C,)
+        valid = slots < offsets[-1]
+        g = start[row] + (slots - offsets[row])
+        g = jnp.where(valid, g, n_sent)   # sentinel row: coords 1e19
+        pts = cells.points_sorted[g]                           # (C, 3)
+        vals = jnp.where(valid[:, None], values_sorted[g], 0.0)  # (C, V)
+        panel = jnp.concatenate(
+            [pts.T, vals.T,
+             jnp.zeros((8 - 3 - V, C), jnp.float32)], axis=0)  # (8, C)
+        return panel
+
+    n_blocks = nbz * nby * nbx
+    g = group
+    while n_blocks % g:
+        g //= 2
+    ids = jnp.arange(n_blocks, dtype=jnp.int32).reshape(-1, g)
+    out = jax.lax.map(jax.vmap(one_block), ids)
+    return out.reshape(n_blocks, 8, C)
+
+
+# ---------------------------------------------------------------------------
+# Phase 2: fused VMEM panel kernel (Pallas)
+# ---------------------------------------------------------------------------
+
+def _panel_weights(d, mask, mode: str, power: float):
+    """Unnormalized panel weights — the same masked-panel formulas as
+    ``interpolate/knn_weights.py::_idw_panel_weights/_sibson_panel_weights``
+    (bisect branch), restated here so the Pallas kernel carries no foreign
+    closures. IDW: `interpolator.py:141-147`; sibson: `:102-116` with the
+    row-min shift that cancels under normalization."""
+    if mode == "idw":
+        if power == 2.0:
+            return 1.0 / (d * d + _EPS)
+        return 1.0 / (d ** power + _EPS)
+    okf = mask.astype(d.dtype)
+    n_ok = jnp.maximum(jnp.sum(okf, axis=1, keepdims=True), 1.0)
+    d_ok = jnp.where(mask, d, 0.0)
+    mean = jnp.sum(d_ok, axis=1, keepdims=True) / n_ok
+    var = jnp.sum(okf * (d_ok - mean) ** 2, axis=1, keepdims=True) / n_ok
+    std = jnp.sqrt(jnp.maximum(var, 0.0))
+    dmin = jnp.min(jnp.where(mask, d, 3.4e38), axis=1, keepdims=True)
+    dmin = jnp.where(dmin > 1e18, 0.0, dmin)   # empty mask → harmless 0
+    inv = 1.0 / (d + _EPS)
+    return inv * jnp.exp(-(d - dmin) / (std + _EPS))
+
+
+def _fused_kernel(m2_ref, cand_ref, qx_ref, qy_ref, qz_ref, out_ref,
+                  d2, *, block, dims, sz, k, V, mode, power):
+    bz, by, bx = block
+    Bt = sz * by * bx
+
+    cx = cand_ref[0, 0, :]
+    cy = cand_ref[0, 1, :]
+    cz = cand_ref[0, 2, :]
+
+    # flat query coordinates for this (block, sub-tile), prebuilt in XLA —
+    # Mosaic cannot relayout lane vectors across the query axes, so the
+    # (tz, ty, tx) → row flattening happens outside the kernel
+    qx = qx_ref[0, 0, :]                                        # (Bt,)
+    qy = qy_ref[0, 0, :]
+    qz = qz_ref[0, 0, :]
+
+    # distance panel, built once in VMEM scratch (accumulated in place to
+    # bound Mosaic's temporary count)
+    d2[:] = (qx[:, None] - cx[None, :]) ** 2
+    d2[:] = d2[:] + (qy[:, None] - cy[None, :]) ** 2
+    d2[:] = d2[:] + (qz[:, None] - cz[None, :]) ** 2
+
+    m2 = m2_ref[0, 0]
+    kf = jnp.float32(k)
+    # coverage sentinel: #candidates inside the margin ≥ k ⟺ the true k-th
+    # distance ≤ margin (guaranteed-radius property) — identical to the XLA
+    # path's sentinel; counts fit f32 exactly (C < 2^24)
+    cnt_in = jnp.sum((d2[:] <= m2).astype(jnp.float32), axis=1, keepdims=True)
+    covered = cnt_in >= kf
+
+    # exact τ by monotone counting: 24 halvings of [0, margin²] pin the
+    # k-th distance below the f32 spacing of any realistic d² — all passes
+    # read the VMEM-resident panel, no HBM traffic
+    def body(_, carry):
+        lo, hi = carry
+        mid = 0.5 * (lo + hi)
+        c = jnp.sum((d2[:] <= mid).astype(jnp.float32), axis=1,
+                    keepdims=True)
+        short = c < kf
+        return (jnp.where(short, mid, lo), jnp.where(short, hi, mid))
+
+    lo0 = jnp.zeros((Bt, 1), jnp.float32)
+    hi0 = jnp.full((Bt, 1), 1.0, jnp.float32) * m2
+    _, tau2 = jax.lax.fori_loop(0, _BISECT_ITERS, body, (lo0, hi0))
+
+    # panel becomes plain distances in place (sqrt is monotone, so the τ
+    # mask carries over); masked statistics are recomputed per reduction
+    # instead of materializing mask/weight panels — Mosaic stack VMEM is
+    # the scarce resource here
+    d2[:] = jnp.sqrt(jnp.maximum(d2[:], 0.0))
+    tau = jnp.sqrt(tau2)
+
+    if mode == "idw":
+        if power == 2.0:
+            d2[:] = jnp.where(d2[:] <= tau,
+                              1.0 / (d2[:] * d2[:] + _EPS), 0.0)
+        else:
+            d2[:] = jnp.where(d2[:] <= tau,
+                              1.0 / (d2[:] ** power + _EPS), 0.0)
+    else:
+        # sibson (`interpolator.py:102-116`): masked mean/std/min of the
+        # k-set distances, then inv-dist × shifted-exp smoothing. Stats are
+        # panel reductions; only then is the panel overwritten by weights.
+        sel = d2[:] <= tau
+        okf = sel.astype(jnp.float32)
+        n_ok = jnp.maximum(jnp.sum(okf, axis=1, keepdims=True), 1.0)
+        s1 = jnp.sum(jnp.where(sel, d2[:], 0.0), axis=1, keepdims=True)
+        s2 = jnp.sum(jnp.where(sel, d2[:] * d2[:], 0.0), axis=1,
+                     keepdims=True)
+        mean = s1 / n_ok
+        # masked ddof=0 variance via E[d²] − E[d]² over the k-set (equal to
+        # the reference's np.std over gathered k distances, f32 order aside)
+        var = jnp.maximum(s2 / n_ok - mean * mean, 0.0)
+        std = jnp.sqrt(var)
+        dmin = jnp.min(jnp.where(sel, d2[:], 3.4e38), axis=1, keepdims=True)
+        dmin = jnp.where(dmin > 1e18, 0.0, dmin)
+        d2[:] = jnp.where(
+            d2[:] <= tau,
+            (1.0 / (d2[:] + _EPS))
+            * jnp.exp(-(d2[:] - dmin) / (std + _EPS)), 0.0)
+
+    den = jnp.sum(d2[:], axis=1)                                # (Bt,)
+    inv_den = 1.0 / jnp.maximum(den, 1e-37)
+    # exact per-channel f32 VPU reductions (no MXU rounding)
+    for c in range(V):
+        num = jnp.sum(d2[:] * cand_ref[0, 3 + c, :][None, :], axis=1)
+        out_ref[0, 0, c, :] = num * inv_den
+    out_ref[0, 0, V, :] = jnp.where(covered[:, 0], den, 0.0)
+    for c in range(V + 1, 8):
+        out_ref[0, 0, c, :] = jnp.zeros((Bt,), jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("block", "dims", "sz"))
+def _build_queries(axes, block, dims, sz):
+    """Flat per-(block, sub-tile) query coordinate rows, (n_rows, 1, Bt)
+    each for x/y/z — the (ibz, iby, ibx, j, tz, ty, tx) flattening the
+    Pallas kernel cannot do in-register."""
+    bz, by, bx = block
+    nbz, nby, nbx = dims
+    n_sub = bz // sz
+    shape = (nbz, nby, nbx, n_sub, sz, by, bx)
+    x_ax, y_ax, z_ax = axes
+    qx = jnp.broadcast_to(
+        x_ax.reshape(1, 1, nbx, 1, 1, 1, bx), shape)
+    qy = jnp.broadcast_to(
+        y_ax.reshape(1, nby, 1, 1, 1, by, 1), shape)
+    qz = jnp.broadcast_to(
+        z_ax.reshape(nbz, 1, 1, n_sub, sz, 1, 1), shape)
+    n_rows = nbz * nby * nbx * n_sub
+    Bt = sz * by * bx
+    return (qx.reshape(n_rows, 1, Bt), qy.reshape(n_rows, 1, Bt),
+            qz.reshape(n_rows, 1, Bt))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "block", "dims", "sz", "k", "V", "C", "mode", "power", "interpret"))
+def _fused_eval(m2, cand, qx_all, qy_all, qz_all, block, dims, sz, k, V, C,
+                mode, power, interpret=False):
+    bz, by, bx = block
+    nbz, nby, nbx = dims
+    n_blocks = nbz * nby * nbx
+    n_sub = bz // sz
+    Bt = sz * by * bx
+
+    kern = functools.partial(_fused_kernel, block=block, dims=dims, sz=sz,
+                             k=k, V=V, mode=mode, power=power)
+    q_spec = pl.BlockSpec((1, 1, Bt), lambda i, j: (i * n_sub + j, 0, 0),
+                          memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kern,
+        grid=(n_blocks, n_sub),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),              # m2 (1, 1)
+            pl.BlockSpec((1, 8, C), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),              # candidates
+            q_spec, q_spec, q_spec,
+        ],
+        out_specs=pl.BlockSpec((1, 1, 8, Bt), lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_blocks, n_sub, 8, Bt), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((Bt, C), jnp.float32)],
+        # the (Bt, C) panel plus Mosaic's expression temporaries exceed the
+        # default 16 MB scoped budget; v5e has 128 MB VMEM per core
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(m2, cand, qx_all, qy_all, qz_all)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Host driver
+# ---------------------------------------------------------------------------
+
+def _block_total_capacity(cells, axes_np, margin: float,
+                          block: Tuple[int, int, int],
+                          grid_shape: Tuple[int, int, int],
+                          mc: Tuple[int, int, int]) -> int:
+    """Max total candidate count over all blocks (the static panel width C
+    for the compacted store) — the compaction analogue of
+    ``grid_knn._row_capacity``, summed over the block's candidate rows."""
+    bz, by, bx = block
+    nz, ny, nx = grid_shape
+    nbz, nby, nbx = (_block_counts(nz, bz), _block_counts(ny, by),
+                     _block_counts(nx, bx))
+    mcz, mcy, mcx = mc
+    ncx, ncy, ncz = cells.dims
+    x_ax, y_ax, z_ax = axes_np
+    origin = np.asarray(cells.origin)
+    inv = float(np.asarray(cells.inv_cell)[0])
+
+    starts_np = np.asarray(cells.starts).astype(np.int64)
+    counts = np.diff(starts_np).reshape(ncz * ncy, ncx)
+    csum = np.concatenate([np.zeros((ncz * ncy, 1), np.int64),
+                           np.cumsum(counts, axis=1)], axis=1)
+
+    base_x = np.floor((x_ax[np.arange(nbx) * bx] - margin - origin[0])
+                      * inv).astype(np.int64)
+    base_y = np.floor((y_ax[np.arange(nby) * by] - margin - origin[1])
+                      * inv).astype(np.int64)
+    base_z = np.floor((z_ax[np.arange(nbz) * bz] - margin - origin[2])
+                      * inv).astype(np.int64)
+    x0 = np.clip(base_x, 0, ncx)
+    x1 = np.clip(base_x + mcx, 0, ncx)
+
+    W = (csum[:, x1] - csum[:, x0]).reshape(ncz, ncy, nbx)
+    Wp = np.zeros((ncz + 2 * mcz, ncy + 2 * mcy, nbx), np.int64)
+    Wp[mcz:mcz + ncz, mcy:mcy + ncy] = W
+    cz_idx = np.clip(base_z[:, None] + np.arange(mcz)[None, :] + mcz,
+                     0, ncz + 2 * mcz - 1)
+    cy_idx = np.clip(base_y[:, None] + np.arange(mcy)[None, :] + mcy,
+                     0, ncy + 2 * mcy - 1)
+    T1 = Wp[cz_idx].sum(axis=1)                      # (nbz, ncy+2mcy, nbx)
+    tot = T1[:, cy_idx, :].sum(axis=2)               # (nbz, nby, nbx)
+    return int(tot.max()) if tot.size else 1
+
+
+def _pick_sz(bz: int, by: int, bx: int, target: int = 256) -> int:
+    """Largest divisor of bz with a sub-tile of sz·by·bx ≤ target queries
+    (panel ≤ target × C f32 in VMEM)."""
+    best = 1
+    for sz in range(1, bz + 1):
+        if bz % sz == 0 and sz * by * bx <= target:
+            best = sz
+    return best
+
+
+class FusedCapacityError(ValueError):
+    """The compacted candidate panel would exceed the VMEM budget —
+    callers fall back to the streaming XLA path."""
+
+
+def fused_grid_weighted_interpolate(points, values, grid: Grid, k: int,
+                                    mode: str = "sibson", power: float = 2.0,
+                                    block: Tuple[int, int, int] | None = None,
+                                    margin_factor: float = 1.45,
+                                    group: int = 8, skip_mask=None,
+                                    max_panel: int = 8192,
+                                    interpret: bool = False):
+    """IDW/sibson onto ``grid`` via the fused two-phase kernel. Returns
+    (nz, ny, nx, V) with uncovered nodes repaired exactly — same contract
+    (and same escape hatches) as
+    ``ops.grid_knn.grid_weighted_interpolate``."""
+    from ptv_interpolation_tpu.ops.grid_knn import (
+        _host_setup, repair_empty_nodes)
+
+    if block is None:
+        block = (4, 8, 16) if skip_mask is not None else (8, 8, 16)
+    bz, by, bx = block
+
+    setup = _host_setup(points, values, grid, k, None, None, block,
+                        margin_factor)
+    (cells, values_sorted, axes, margin, mc, _row_len, values_dev) = setup
+    axes_np = tuple(np.asarray(a) for a in axes)
+
+    C_raw = _block_total_capacity(cells, axes_np, margin, block, grid.shape,
+                                  mc)
+    C = max((C_raw + 127) // 128 * 128, 128)
+    if C > max_panel:
+        raise FusedCapacityError(
+            f"compacted candidate panel {C} exceeds max_panel={max_panel}; "
+            f"use the streaming XLA path")
+
+    nz, ny, nx = grid.shape
+    dims = (_block_counts(nz, bz), _block_counts(ny, by),
+            _block_counts(nx, bx))
+    V = int(np.shape(values)[1])
+    sz = _pick_sz(bz, by, bx)
+
+    cand = _compact_gather(cells, values_sorted, axes, jnp.float32(margin),
+                           tuple(block), grid.shape, mc, C, group)
+    m2 = jnp.asarray([[margin * margin]], jnp.float32)
+    qx_all, qy_all, qz_all = _build_queries(axes, tuple(block), dims, sz)
+    out = _fused_eval(m2, cand, qx_all, qy_all, qz_all,
+                      tuple(block), dims, sz, int(k), V, C, mode,
+                      float(power), interpret=bool(interpret))
+    out = _reassemble(out, tuple(block), dims, sz, grid.shape)
+    field, den = out[..., :V], out[..., V]
+    return repair_empty_nodes(field, den, points, values_dev, grid, k, mode,
+                              power, cells=cells, margin=margin,
+                              skip_mask=skip_mask)
+
+
+@functools.partial(jax.jit, static_argnames=("block", "dims", "sz",
+                                             "grid_shape"))
+def _reassemble(out, block, dims, sz, grid_shape):
+    """(n_blocks, n_sub, 8, Bt) → (nz, ny, nx, 8) node order."""
+    bz, by, bx = block
+    nbz, nby, nbx = dims
+    nz, ny, nx = grid_shape
+    n_sub = bz // sz
+    o = out.reshape(nbz, nby, nbx, n_sub, 8, sz, by, bx)
+    #              0    1    2    3      4  5   6   7
+    o = o.transpose(0, 3, 5, 1, 6, 2, 7, 4)
+    o = o.reshape(nbz * bz, nby * by, nbx * bx, 8)
+    return o[:nz, :ny, :nx]
