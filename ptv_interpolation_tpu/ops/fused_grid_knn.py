@@ -325,7 +325,8 @@ def _block_total_capacity(cells, axes_np, margin: float,
     origin = np.asarray(cells.origin)
     inv = float(np.asarray(cells.inv_cell)[0])
 
-    starts_np = np.asarray(cells.starts).astype(np.int64)
+    starts_np = (cells.starts_host if cells.starts_host is not None
+                 else np.asarray(cells.starts)).astype(np.int64)
     counts = np.diff(starts_np).reshape(ncz * ncy, ncx)
     csum = np.concatenate([np.zeros((ncz * ncy, 1), np.int64),
                            np.cumsum(counts, axis=1)], axis=1)
@@ -414,7 +415,7 @@ def fused_grid_weighted_interpolate(points, values, grid: Grid, k: int,
     field, den = out[..., :V], out[..., V]
     return repair_empty_nodes(field, den, points, values_dev, grid, k, mode,
                               power, cells=cells, margin=margin,
-                              skip_mask=skip_mask)
+                              skip_mask=skip_mask, values_sorted=values_sorted)
 
 
 @functools.partial(jax.jit, static_argnames=("block", "dims", "sz",

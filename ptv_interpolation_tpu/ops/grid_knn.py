@@ -255,17 +255,24 @@ def _grid_block_weighted_sum(cells: CellList, values_sorted, axes, margin,
             # margin²·2⁻²⁴ — below the f32 spacing of any realistic d².
             # Covered queries converge to the true τ; uncovered ones drive
             # hi → margin² and are repaired via the sentinel anyway.
+            # a fori_loop, not an unrolled Python loop: the 24 unrolled
+            # compare+reduce passes inflated the HLO ~10× and drove the
+            # ~10-minute cold remote compiles the round-2 driver recorded
+            # (warm wall is unchanged — each pass streams the HBM panel
+            # either way)
             sq_topk = None
-            lo = jnp.zeros((d2.shape[0], 1), d2.dtype)
-            hi = jnp.full((d2.shape[0], 1), m2, d2.dtype)
-            for _ in range(24):
+
+            def bisect_body(_, carry):
+                lo, hi = carry
                 mid = 0.5 * (lo + hi)
                 c = jnp.sum((d2 <= mid).astype(jnp.int32), axis=1,
                             keepdims=True)
                 short = c < kk
-                lo = jnp.where(short, mid, lo)
-                hi = jnp.where(short, hi, mid)
-            tau2 = hi
+                return jnp.where(short, mid, lo), jnp.where(short, hi, mid)
+
+            lo = jnp.zeros((d2.shape[0], 1), d2.dtype)
+            hi = jnp.full((d2.shape[0], 1), m2, d2.dtype)
+            _, tau2 = jax.lax.fori_loop(0, 24, bisect_body, (lo, hi))
         else:
             if mode == "exact":
                 # exact k-th distance: the τ-mask becomes exactly the true
@@ -355,6 +362,39 @@ def _celllist_repair_eval(cells: CellList, values, queries, k: int,
     return map_query_tiles(tile, queries, query_tile)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "rings", "mode", "power",
+                                              "query_tile"))
+def _celllist_repair_eval_csr(cells: CellList, values_sorted, queries, k: int,
+                              rings: int, mode: str, power: float,
+                              guard_radius, query_tile: int = 512):
+    """:func:`_celllist_repair_eval` through the CSR layout only — used when
+    the cell list was built with ``build_table=False`` (the grid kernels'
+    default, which skips ~28 MB of dense-table device transfer at 1M
+    points). ``values_sorted`` is the cell-sorted values array from
+    :func:`_host_setup` (sentinel rows are zero, far coordinates)."""
+    from ptv_interpolation_tpu.interpolate.knn_weights import (
+        _idw_weights, _sibson_weights)
+    from ptv_interpolation_tpu.ops.neighbors import (
+        celllist_csr_tile_fn, map_query_tiles)
+    n_sent = cells.n_points
+    neighbor = celllist_csr_tile_fn(cells, k, rings, exact_topk=True)
+
+    def tile(q_tile):
+        sq, idx = neighbor(q_tile)
+        ok = idx < n_sent
+        dist = jnp.sqrt(jnp.maximum(jnp.where(ok, sq, 1.0), 0.0))
+        good = ok[:, -1] & (dist[:, -1] <= guard_radius)
+        if mode == "idw":
+            w = _idw_weights(dist, power, ok)
+        else:
+            w = _sibson_weights(dist, ok)
+        vals = values_sorted[idx]           # sentinel rows gather zeros
+        return (jnp.einsum("tk,tkc->tc", w, vals,
+                           precision=jax.lax.Precision.HIGHEST), good)
+
+    return map_query_tiles(tile, queries, query_tile)
+
+
 def _pad_pow2(q: np.ndarray) -> tuple[np.ndarray, int]:
     """Pad rows to the next power of two (replicating the last row) so the
     jit cache sees a handful of shapes across calls."""
@@ -369,7 +409,7 @@ def repair_empty_nodes(out, den, points, values, grid: Grid, k: int,
                        mode: str, power: float = 2.0,
                        cells: CellList | None = None,
                        margin: float | None = None,
-                       skip_mask=None):
+                       skip_mask=None, values_sorted=None):
     """Escape hatch for nodes the block kernel cannot serve exactly:
     empty candidate regions (void regions of non-uniform clouds) and
     uncovered neighborhoods (k-th candidate beyond the kNN margin —
@@ -432,11 +472,20 @@ def repair_empty_nodes(out, den, points, values, grid: Grid, k: int,
         # particles inflate cells.cap). 16384 × tile 256 caps the padded
         # intermediate at ~2 GB; bigger neighborhoods fall through to the
         # chunked brute-force stage, which streams points instead.
-        if rings <= 6 and n_cand <= 16384:
+        has_table = cells.table.shape[0] > 1
+        if rings <= 6 and n_cand <= 16384 and (values_sorted is not None
+                                               or has_table):
             qp, m = _pad_pow2(queries)
-            vals_s1, good = _celllist_repair_eval(
-                cells, values, qp, kk, rings, mode, float(power),
-                jnp.float32(rings * cell_size), query_tile=256)
+            if values_sorted is not None:
+                # CSR path: no dense table needed (grid kernels build their
+                # cell lists with build_table=False)
+                vals_s1, good = _celllist_repair_eval_csr(
+                    cells, values_sorted, qp, kk, rings, mode, float(power),
+                    jnp.float32(rings * cell_size), query_tile=256)
+            else:
+                vals_s1, good = _celllist_repair_eval(
+                    cells, values, qp, kk, rings, mode, float(power),
+                    jnp.float32(rings * cell_size), query_tile=256)
             good = np.asarray(good)[:m]
             fixed[good] = np.asarray(vals_s1)[:m][good]
             todo = todo[~good]
@@ -472,15 +521,24 @@ def grid_weighted_interpolate(points, values, grid: Grid, k: int,
                               block: Tuple[int, int, int] | None = None,
                               margin_factor: float = 1.45,
                               recall_target: float = 0.9, group: int = 8,
-                              backend: str = "xla", mode: str = "sibson",
+                              backend: str = "auto", mode: str = "sibson",
                               power: float = 2.0, exact_tau: bool = False,
                               tau_mode: str = "bisect", skip_mask=None):
     """Driver for the weighted-sum fast path (shares host setup with
     :func:`grid_knn_apply`).
 
-    ``backend='pallas'`` routes IDW/sibson through the experimental fused
-    Pallas kernel (see ``ops/pallas_grid_knn.py`` for its measured
-    trade-offs); 'xla' (default) is the production path.
+    ``backend`` selects the kernel formulation:
+
+    * ``'auto'`` (default): on TPU with ``tau_mode='bisect'``, the fused
+      two-phase kernel (``ops/fused_grid_knn.py`` — compact XLA gather +
+      VMEM-resident Pallas τ-bisect; identical selection math, ~25% less
+      wall at the 1M→256³ headline), falling back to ``'xla'`` when the
+      compacted panel would blow the VMEM budget or on other platforms.
+    * ``'fused'``: the two-phase kernel, no fallback.
+    * ``'xla'``: the streaming one-phase XLA kernel (the round-2
+      production path; works on all platforms).
+    * ``'pallas'``: the superseded experimental one-phase Pallas kernel
+      (``ops/pallas_grid_knn.py`` documents its measured trade-offs).
 
     The default ``tau_mode='bisect'`` gives exact-selection parity with
     the f64 scipy reference (headline: L2 1.1e-7 / divergence 2.4e-6 — the
@@ -508,6 +566,22 @@ def grid_weighted_interpolate(points, values, grid: Grid, k: int,
         return jnp.asarray(pallas_grid_weighted_interpolate(
             points, values, grid, k, mode=mode, power=power,
             margin_factor=margin_factor))
+    if backend == "fused" or (
+            backend == "auto" and tau_mode == "bisect" and not exact_tau
+            and cells is None and mode in ("idw", "sibson")
+            and jax.default_backend() == "tpu"):
+        from ptv_interpolation_tpu.ops.fused_grid_knn import (
+            FusedCapacityError, fused_grid_weighted_interpolate)
+        try:
+            return fused_grid_weighted_interpolate(
+                points, values, grid, k, mode=mode, power=power,
+                block=block, margin_factor=margin_factor, group=group,
+                skip_mask=skip_mask)
+        except (FusedCapacityError, RowCapacityError):
+            if backend == "fused":
+                raise
+            # auto: panel too wide for VMEM (or no feasible cell size) —
+            # fall through to the streaming path / generic fallback
     try:
         setup = _host_setup(points, values, grid, k, cells, cell_size, block,
                             margin_factor)
@@ -523,7 +597,7 @@ def grid_weighted_interpolate(points, values, grid: Grid, k: int,
                                         tau_mode)
     return repair_empty_nodes(out, den, points, values_dev, grid, k, mode,
                               power, cells=cells, margin=margin,
-                              skip_mask=skip_mask)
+                              skip_mask=skip_mask, values_sorted=values_sorted)
 
 
 def grid_knn_apply(points, values, grid: Grid, k: int, consume_fn: Callable,
@@ -562,7 +636,11 @@ def _row_capacity(cells: CellList, mcx: int) -> int:
     (must stay within the 1024-column sentinel padding of the sorted
     arrays; callers refine the cell size or fall back when it doesn't)."""
     ncx, ncy, ncz = cells.dims
-    starts_np = np.asarray(cells.starts)
+    # prefer the host-side copy: np.asarray on the device array forces a
+    # blocking drain of the async transfer queue (~2 s of tunnel wall right
+    # after build_cell_list pushed ~30 MB at 1M points)
+    starts_np = (cells.starts_host if cells.starts_host is not None
+                 else np.asarray(cells.starts))
     row_counts = np.diff(starts_np.astype(np.int64)).reshape(ncz * ncy, ncx)
     w = min(mcx, ncx)
     csum = np.concatenate([np.zeros((row_counts.shape[0], 1), np.int64),
@@ -595,7 +673,7 @@ def _host_setup(points, values, grid: Grid, k: int, cells, cell_size, block,
         r_k = (3.0 * k / (4.0 * math.pi * density)) ** (1.0 / 3.0)
         if cell_size is None:
             cell_size = max(r_k * margin_factor / 2.0, 1e-6)
-        cells = build_cell_list(pts, cell_size=cell_size)
+        cells = build_cell_list(pts, cell_size=cell_size, build_table=False)
     else:
         cell_size = 1.0 / float(np.asarray(cells.inv_cell)[0])
         lo = np.asarray(cells.origin)
@@ -622,7 +700,7 @@ def _host_setup(points, values, grid: Grid, k: int, cells, cell_size, block,
         cell_size = cell_size * shrink
         if cell_size < 1e-9:
             break
-        cells = build_cell_list(pts, cell_size=cell_size)
+        cells = build_cell_list(pts, cell_size=cell_size, build_table=False)
         mc = region_dims(cell_size)
         row_len = _row_capacity(cells, mc[2])
     if row_len > 1024:

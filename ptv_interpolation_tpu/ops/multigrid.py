@@ -87,10 +87,15 @@ def make_mg_preconditioner(mask, dx, dy, dz, n_smooth: int = 2,
         return -laplacian_apply(x, masks[lvl], sx, sy, sz)
 
     def smooth(x, b, lvl, sweeps):
-        for _ in range(sweeps):
-            x = x + omega * (b - neg_lap(x, lvl)) / diags[lvl]
-            x = x * maskfs[lvl]
-        return x
+        # fori_loop, not Python unrolling: the coarse level runs
+        # ``coarse_iters`` (20) sweeps, and this whole V-cycle appears
+        # twice inside the PCG while_loop trace — unrolled sweeps were a
+        # major term in the ~10-minute 256³ cold remote compiles round 2
+        # recorded (warm wall unchanged; each sweep is HBM-bound either way)
+        def body(_, xi):
+            xi = xi + omega * (b - neg_lap(xi, lvl)) / diags[lvl]
+            return xi * maskfs[lvl]
+        return jax.lax.fori_loop(0, sweeps, body, x)
 
     def v_cycle(b, lvl):
         if lvl == n_levels - 1:

@@ -206,7 +206,8 @@ class CellList:
       slices and to pad at row granularity instead of cell granularity.
     """
 
-    table: jax.Array            # (n_cells + 1, cap) int32
+    table: jax.Array            # (n_cells + 1, cap) int32 (placeholder if
+                                # built with build_table=False)
     points_padded: jax.Array    # (n_points + 1, 3) f32, last row = far sentinel
     origin: jax.Array           # (3,) f32
     inv_cell: jax.Array         # (3,) f32 — 1 / cell_size
@@ -215,11 +216,17 @@ class CellList:
     points_sorted: jax.Array    # (n_points + pad, 3) f32, sentinel padded
     dims: Tuple[int, int, int]  # static (ncx, ncy, ncz)
     cap: int                    # static capacity per cell
+    n_pts: int = -1             # static point count (aux; -1 = derive)
+    # host-side copy of `starts` (numpy) — lets the grid kernels compute
+    # row capacities without a device→host round trip that would drain the
+    # async transfer queue (the sync cost was ~2 s of tunnel wall at 1M
+    # points). Not part of the pytree; absent after unflatten.
+    starts_host: object = None
 
     def tree_flatten(self):
         return ((self.table, self.points_padded, self.origin, self.inv_cell,
                  self.starts, self.order, self.points_sorted),
-                (self.dims, self.cap))
+                (self.dims, self.cap, self.n_pts))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -227,6 +234,8 @@ class CellList:
 
     @property
     def n_points(self) -> int:
+        if self.n_pts >= 0:
+            return self.n_pts
         return self.points_padded.shape[0] - 1
 
 
@@ -242,7 +251,8 @@ def auto_cell_size(n_points: int, bounds_lo, bounds_hi, k: int,
 
 
 def build_cell_list(points, cell_size: float | None = None, k_hint: int = 32,
-                    cap: int | None = None, max_cells: int = 2 ** 22) -> CellList:
+                    cap: int | None = None, max_cells: int = 2 ** 22,
+                    build_table: bool = True) -> CellList:
     """Bucket ``points`` into a cell list (host-driven: capacity and grid
     dims become static shapes for the query kernel).
 
@@ -250,6 +260,11 @@ def build_cell_list(points, cell_size: float | None = None, k_hint: int = 32,
     ----------
     cell_size : cell edge; default from :func:`auto_cell_size` with ``k_hint``.
     cap : per-cell capacity; default = observed max occupancy (exact).
+    build_table : build the dense per-cell index ``table`` and
+        ``points_padded`` (needed by :func:`celllist_tile_fn`). The grid
+        kernels and the CSR repair path only use the CSR layout; skipping
+        the table saves its host build plus ~28 MB of device transfer at
+        1M points.
     """
     pts = np.asarray(points, np.float32)
     n = pts.shape[0]
@@ -279,11 +294,16 @@ def build_cell_list(points, cell_size: float | None = None, k_hint: int = 32,
         cap = observed_cap
     keep = rank < cap
 
-    table = np.full(((n_cells + 1) * cap,), n, np.int32)
-    table[(sorted_cells[keep] * cap + rank[keep]).astype(np.int64)] = order[keep]
-    table = table.reshape(n_cells + 1, cap)
-
-    points_padded = np.concatenate([pts, np.full((1, 3), 1e19, np.float32)])
+    if build_table:
+        table = np.full(((n_cells + 1) * cap,), n, np.int32)
+        table[(sorted_cells[keep] * cap + rank[keep]).astype(np.int64)] = \
+            order[keep]
+        table = table.reshape(n_cells + 1, cap)
+        points_padded = np.concatenate(
+            [pts, np.full((1, 3), 1e19, np.float32)])
+    else:
+        table = np.full((1, 1), n, np.int32)
+        points_padded = np.full((1, 3), 1e19, np.float32)
 
     # CSR layout for the grid-block kernel: starts[c] = first sorted index
     # of cell c; points_sorted padded with a far sentinel so fixed-length
@@ -306,6 +326,8 @@ def build_cell_list(points, cell_size: float | None = None, k_hint: int = 32,
         points_sorted=jnp.asarray(points_sorted),
         dims=(ncx, ncy, ncz),
         cap=int(cap),
+        n_pts=int(n),
+        starts_host=starts,
     )
 
 
@@ -356,6 +378,66 @@ def celllist_tile_fn(cells: CellList, k: int, rings: int = 1,
         if kk < k:  # fewer candidates than k: pad (mirrors KDTree inf-fill)
             sq = jnp.pad(sq, ((0, 0), (0, k - kk)), constant_values=_BIG)
             idx = jnp.pad(idx, ((0, 0), (0, k - kk)), constant_values=-1)
+        return sq, idx
+
+    return per_tile
+
+
+def celllist_csr_tile_fn(cells: CellList, k: int, rings: int = 1,
+                         exact_topk: bool = True,
+                         recall_target: float = 0.99):
+    """Per-tile cell-list kNN through the CSR layout only — no dense
+    ``table`` / ``points_padded`` needed (those cost ~28 MB of device
+    transfer at 1M points; the CSR candidate indices are plain arithmetic
+    ``starts[cell] + lane`` instead of a table lookup).
+
+    Returns ``fn(q_tile) -> (sq_dists, idx_sorted)`` where ``idx_sorted``
+    indexes the **cell-sorted** arrays (``points_sorted`` / a values array
+    sorted by ``cells.order``); slots beyond a cell's occupancy or outside
+    the grid point at the sentinel row ``cells.n_points`` (far coordinates,
+    zero values)."""
+    ncx, ncy, ncz = cells.dims
+    cap = cells.cap
+    n_offsets = (2 * rings + 1) ** 3
+    n_sent = cells.n_points
+    offs = jnp.asarray(
+        [[ox, oy, oz]
+         for oz in range(-rings, rings + 1)
+         for oy in range(-rings, rings + 1)
+         for ox in range(-rings, rings + 1)], jnp.int32)
+
+    def per_tile(q_tile):
+        query_tile = q_tile.shape[0]
+        cidx = jnp.floor((q_tile - cells.origin) * cells.inv_cell).astype(jnp.int32)
+        cidx = jnp.clip(cidx, 0, jnp.asarray([ncx - 1, ncy - 1, ncz - 1]))
+        neigh = cidx[:, None, :] + offs[None, :, :]
+        in_range = jnp.all(
+            (neigh >= 0) & (neigh < jnp.asarray([ncx, ncy, ncz])), axis=-1)
+        cell_ids = (neigh[..., 2] * ncy + neigh[..., 1]) * ncx + neigh[..., 0]
+        cell_ids = jnp.where(in_range, cell_ids, 0)
+        s = cells.starts[cell_ids]                         # (T, 27)
+        e = cells.starts[cell_ids + 1]
+        lane = jnp.arange(cap, dtype=jnp.int32)
+        cand = s[..., None] + lane[None, None, :]          # (T, 27, cap)
+        ok = in_range[..., None] & (cand < e[..., None])
+        cand = jnp.where(ok, cand, n_sent).reshape(query_tile,
+                                                   n_offsets * cap)
+        cand_pts = cells.points_sorted[cand]
+
+        d2 = jnp.sum((q_tile[:, None, :] - cand_pts) ** 2, axis=-1)
+        d2 = jnp.where(cand == n_sent, _BIG, d2)
+        kk = min(k, n_offsets * cap)
+        if exact_topk:
+            neg_top, args = jax.lax.top_k(-d2, kk)
+            sq = -neg_top
+        else:
+            sq, args = jax.lax.approx_min_k(d2, kk,
+                                            recall_target=recall_target)
+        idx = jnp.take_along_axis(cand, args, axis=1)
+        if kk < k:
+            sq = jnp.pad(sq, ((0, 0), (0, k - kk)), constant_values=_BIG)
+            idx = jnp.pad(idx, ((0, 0), (0, k - kk)),
+                          constant_values=n_sent)
         return sq, idx
 
     return per_tile

@@ -173,7 +173,8 @@ def sharded_grid_interpolate(points, values, grid: Grid, mesh: Mesh,
     out = out.reshape(nz_pad, grid.ny, grid.nx, -1)[: grid.nz]
     return repair_empty_nodes(out[..., :-1], out[..., -1], points, values_dev,
                               grid, k, method, power, cells=cells,
-                              margin=margin, skip_mask=skip_mask)
+                              margin=margin, skip_mask=skip_mask,
+                              values_sorted=values_sorted)
 
 
 # ---------------------------------------------------------------------------
