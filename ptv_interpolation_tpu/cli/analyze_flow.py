@@ -90,6 +90,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None):
+    from ptv_interpolation_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
     args = build_parser().parse_args(argv)
     basename = os.path.splitext(os.path.basename(args.input))[0]
     output_npz = args.output_npz

@@ -11,6 +11,8 @@ from ptv_interpolation_tpu.io import load_mask, load_ptv_data
 
 
 def main(argv=None):
+    from ptv_interpolation_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
     p = argparse.ArgumentParser(
         description="Find best alignment offset between PTV points and mask.")
     p.add_argument("--input", "-i", required=True, help="Input CSV file")

@@ -79,6 +79,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None):
+    from ptv_interpolation_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
     args = build_parser().parse_args(argv)
     config = PipelineConfig(
         input=args.input, mask=args.mask, downscale=args.downscale,

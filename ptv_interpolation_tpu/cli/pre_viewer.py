@@ -106,6 +106,8 @@ class PreViewer:
 
 
 def main(argv=None):
+    from ptv_interpolation_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
     p = argparse.ArgumentParser(
         description="Interactively verify PTV/mask alignment.")
     p.add_argument("--input", "-i", required=True, help="Input CSV file")

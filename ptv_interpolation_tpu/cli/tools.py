@@ -19,6 +19,8 @@ from ptv_interpolation_tpu.physics import compute_consistent_divergence
 # --------------------------------------------------------------- open_results
 
 def open_results(argv=None):
+    from ptv_interpolation_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
     """Visualize PTV results from an NPZ (`open_results.py:5-35`)."""
     p = argparse.ArgumentParser(description="Visualize PTV results from NPZ file.")
     p.add_argument("file", nargs="?", default="sinteredGlass_interpolated.npz")
@@ -40,6 +42,8 @@ def open_results(argv=None):
 # ------------------------------------------------------------ view_divergence
 
 def view_divergence(argv=None):
+    from ptv_interpolation_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
     """Divergence before/after cleaning (`view_divergence.py:7-67`)."""
     p = argparse.ArgumentParser(
         description="Visualize flow field divergence before and after cleaning.")
@@ -103,6 +107,8 @@ def calculate_flux_yz(u_field, dy, dz):
 
 
 def plot_flux(argv=None):
+    from ptv_interpolation_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
     """Per-plane volumetric flux comparison plot (`plot_flux.py:18-87`)."""
     p = argparse.ArgumentParser(
         description="Compare volumetric flux of original and cleaned fields.")
@@ -169,6 +175,8 @@ def plot_flux(argv=None):
 # ------------------------------------------------------------ compare_results
 
 def compare_results(argv=None):
+    from ptv_interpolation_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
     """Compare a PTV NPZ field against simulation reference TIFFs
     (`compare_results.py:7-130`): optional 2x PTV upscale or reference
     downscale, shape-mismatch truncation, mean-speed normalization."""

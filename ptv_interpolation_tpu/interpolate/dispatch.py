@@ -194,6 +194,14 @@ def interpolate_field(points, values, grid: Grid, method: str = "linear",
         if use_fast:
             return out[..., 0], out[..., 1], out[..., 2]
 
+    if method == "linear":
+        # regular-grid targets always rasterize (exact same interpolant as
+        # the per-query walk, ~10× cheaper at scale; identical at 32³)
+        from ptv_interpolation_tpu.interpolate.delaunay import (
+            linear_grid_interpolate)
+        out = linear_grid_interpolate(points, values, grid, fill_value=0.0)
+        return out[..., 0], out[..., 1], out[..., 2]
+
     queries = grid.flat_coords()
     out = interpolate_values(points, values, queries, method=method, **kwargs)
     out = out.reshape(grid.shape + (out.shape[-1],))

@@ -221,12 +221,13 @@ def _fused_kernel(m2_ref, cand_ref, qx_ref, qy_ref, qz_ref, out_ref,
         okf = sel.astype(jnp.float32)
         n_ok = jnp.maximum(jnp.sum(okf, axis=1, keepdims=True), 1.0)
         s1 = jnp.sum(jnp.where(sel, d2[:], 0.0), axis=1, keepdims=True)
-        s2 = jnp.sum(jnp.where(sel, d2[:] * d2[:], 0.0), axis=1,
-                     keepdims=True)
         mean = s1 / n_ok
-        # masked ddof=0 variance via E[d²] − E[d]² over the k-set (equal to
-        # the reference's np.std over gathered k distances, f32 order aside)
-        var = jnp.maximum(s2 / n_ok - mean * mean, 0.0)
+        # two-pass masked ddof=0 variance, NOT E[d²]−E[d]²: the one-pass
+        # form cancels (std/mean)² ≈ 1e-2 of the mantissa and the resulting
+        # ~1e-5 std error leaks through exp(-(d-dmin)/std) into the weights
+        # (measured: headline L2 parity 1.8e-5 one-pass vs 1.1e-7 two-pass)
+        var = jnp.sum(jnp.where(sel, (d2[:] - mean) ** 2, 0.0), axis=1,
+                      keepdims=True) / n_ok
         std = jnp.sqrt(var)
         dmin = jnp.min(jnp.where(sel, d2[:], 3.4e38), axis=1, keepdims=True)
         dmin = jnp.where(dmin > 1e18, 0.0, dmin)
@@ -415,7 +416,8 @@ def fused_grid_weighted_interpolate(points, values, grid: Grid, k: int,
     field, den = out[..., :V], out[..., V]
     return repair_empty_nodes(field, den, points, values_dev, grid, k, mode,
                               power, cells=cells, margin=margin,
-                              skip_mask=skip_mask, values_sorted=values_sorted)
+                              skip_mask=skip_mask, values_sorted=values_sorted,
+                              block=tuple(block))
 
 
 @functools.partial(jax.jit, static_argnames=("block", "dims", "sz",

@@ -148,44 +148,17 @@ def _grid_block_eval(cells: CellList, values_sorted, axes, margin, k: int,
     return out[:nz, :ny, :nx]
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "k", "block", "grid_shape", "mc", "row_len", "weight_fn",
-    "recall_target", "group", "exact_tau", "tau_mode"))
-def _grid_block_weighted_sum(cells: CellList, values_sorted, axes, margin,
-                             k: int, block: Tuple[int, int, int],
-                             grid_shape: Tuple[int, int, int],
-                             mc: Tuple[int, int, int], row_len: int,
-                             weight_fn: Callable, recall_target: float,
-                             group: int, exact_tau: bool = False,
-                             tau_mode: str = "approx"):
-    """Weighted-sum fast path (IDW / sibson): selection-free reduction.
-
-    A per-query k-th-distance threshold τ is found, then the weights are
-    evaluated over the *whole* candidate panel masked by ``d ≤ τ`` and
-    reduced with per-channel VPU sums. Identical math to
-    gather-the-k-neighbors (bar exact-τ ties), but the entire
-    post-selection pipeline (index gathers, (B,k) value takes) disappears.
-
-    ``tau_mode`` picks how τ is found:
-
-    * ``'approx'`` — ``jax.lax.approx_min_k`` at ``recall_target``; the
-      cheapest selection pass, with recall-dependent selection error.
-    * ``'bisect'`` — exact τ by monotone counting: c(t) = #{d² ≤ t} is
-      bisected on [0, margin²] (24 fused compare+reduce passes — no sort,
-      no PartialReduce). Exact to ~margin²·2⁻²⁴, i.e. parity-equivalent
-      to exact top-k, usually cheaper than recall ≥0.99 approx selection.
-    * ``'exact'`` — full ``lax.top_k`` (the reference oracle; slowest).
-
-    ``exact_tau=True`` is back-compat for ``tau_mode='exact'``.
-
-    ``weight_fn(d, mask, sq_topk) -> (B, C) unnormalized weights``
-    (``sq_topk`` is None in bisect mode — sibson statistics then come from
-    masked panel reductions instead of the gathered top-k distances).
-    """
+def _weighted_block_fn(cells: CellList, values_sorted, axes, margin,
+                       k: int, block: Tuple[int, int, int],
+                       nb: Tuple[int, int, int], mc: Tuple[int, int, int],
+                       row_len: int, weight_fn: Callable,
+                       recall_target: float, exact_tau: bool,
+                       tau_mode: str) -> Callable:
+    """Build the per-block closure of the weighted-sum path:
+    ``one_block(flat_block_idx) -> (B, V+1)`` — shared by the full-grid
+    evaluator and the subset (repair) evaluator."""
     bz, by, bx = block
-    nz, ny, nx = grid_shape
-    nbz, nby, nbx = (_block_counts(nz, bz), _block_counts(ny, by),
-                     _block_counts(nx, bx))
+    nbz, nby, nbx = nb
     mcz, mcy, mcx = mc
     ncx, ncy, ncz = cells.dims
     n_rows = mcz * mcy
@@ -303,6 +276,52 @@ def _grid_block_weighted_sum(cells: CellList, values_sorted, axes, margin,
             [num / jnp.maximum(den, 1e-37),
              jnp.where(covered, den, 0.0)], axis=1)
 
+    return one_block
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "k", "block", "grid_shape", "mc", "row_len", "weight_fn",
+    "recall_target", "group", "exact_tau", "tau_mode"))
+def _grid_block_weighted_sum(cells: CellList, values_sorted, axes, margin,
+                             k: int, block: Tuple[int, int, int],
+                             grid_shape: Tuple[int, int, int],
+                             mc: Tuple[int, int, int], row_len: int,
+                             weight_fn: Callable, recall_target: float,
+                             group: int, exact_tau: bool = False,
+                             tau_mode: str = "approx"):
+    """Weighted-sum fast path (IDW / sibson): selection-free reduction.
+
+    A per-query k-th-distance threshold τ is found, then the weights are
+    evaluated over the *whole* candidate panel masked by ``d ≤ τ`` and
+    reduced with per-channel VPU sums. Identical math to
+    gather-the-k-neighbors (bar exact-τ ties), but the entire
+    post-selection pipeline (index gathers, (B,k) value takes) disappears.
+
+    ``tau_mode`` picks how τ is found:
+
+    * ``'approx'`` — ``jax.lax.approx_min_k`` at ``recall_target``; the
+      cheapest selection pass, with recall-dependent selection error.
+    * ``'bisect'`` — exact τ by monotone counting: c(t) = #{d² ≤ t} is
+      bisected on [0, margin²] (24 fused compare+reduce passes — no sort,
+      no PartialReduce). Exact to ~margin²·2⁻²⁴, i.e. parity-equivalent
+      to exact top-k, usually cheaper than recall ≥0.99 approx selection.
+    * ``'exact'`` — full ``lax.top_k`` (the reference oracle; slowest).
+
+    ``exact_tau=True`` is back-compat for ``tau_mode='exact'``.
+
+    ``weight_fn(d, mask, sq_topk) -> (B, C) unnormalized weights``
+    (``sq_topk`` is None in bisect mode — sibson statistics then come from
+    masked panel reductions instead of the gathered top-k distances).
+    """
+    bz, by, bx = block
+    nz, ny, nx = grid_shape
+    nbz, nby, nbx = (_block_counts(nz, bz), _block_counts(ny, by),
+                     _block_counts(nx, bx))
+    V = values_sorted.shape[1]
+    one_block = _weighted_block_fn(cells, values_sorted, axes, margin, k,
+                                   block, (nbz, nby, nbx), mc, row_len,
+                                   weight_fn, recall_target, exact_tau,
+                                   tau_mode)
     n_blocks = nbz * nby * nbx
     g = group
     while n_blocks % g:
@@ -314,6 +333,34 @@ def _grid_block_weighted_sum(cells: CellList, values_sorted, axes, margin,
     out = out.reshape(nbz * bz, nby * by, nbx * bx, V + 1)
     out = out[:nz, :ny, :nx]
     return out[..., :V], out[..., V]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "k", "block", "grid_shape", "mc", "row_len", "weight_fn", "group"))
+def _grid_block_weighted_sum_subset(cells: CellList, values_sorted, axes,
+                                    margin, ids, k: int,
+                                    block: Tuple[int, int, int],
+                                    grid_shape: Tuple[int, int, int],
+                                    mc: Tuple[int, int, int], row_len: int,
+                                    weight_fn: Callable, group: int):
+    """Bisect-τ weighted sum over a *subset* of grid blocks (``ids``: flat
+    block indices, padded to a multiple of ``group``). Returns
+    ``(n_ids, B, V+1)`` in ``ids`` order — the repair stage's shared-
+    candidate evaluator (each block gathers its candidate region once for
+    all its queries, unlike the per-query CSR panel it replaces)."""
+    bz, by, bx = block
+    nz, ny, nx = grid_shape
+    nb = (_block_counts(nz, bz), _block_counts(ny, by), _block_counts(nx, bx))
+    one_block = _weighted_block_fn(cells, values_sorted, axes, margin, k,
+                                   block, nb, mc, row_len, weight_fn,
+                                   recall_target=1.0, exact_tau=False,
+                                   tau_mode="bisect")
+    n_ids = ids.shape[0]
+    g = group
+    while n_ids % g:
+        g //= 2
+    out = jax.lax.map(jax.vmap(one_block), ids.reshape(-1, g))
+    return out.reshape(n_ids, bz * by * bx, values_sorted.shape[1] + 1)
 
 
 def _generic_knn_fallback(points, values, queries, mode: str, power: float,
@@ -371,26 +418,73 @@ def _celllist_repair_eval_csr(cells: CellList, values_sorted, queries, k: int,
     the cell list was built with ``build_table=False`` (the grid kernels'
     default, which skips ~28 MB of dense-table device transfer at 1M
     points). ``values_sorted`` is the cell-sorted values array from
-    :func:`_host_setup` (sentinel rows are zero, far coordinates)."""
+    :func:`_host_setup` (sentinel rows are zero, far coordinates).
+
+    Selection is bisected-τ over the candidate panel — the same monotone
+    counting the block kernels use (``tau_mode='bisect'``), NOT
+    ``lax.top_k``: at the headline geometry (64 tiles × (256, 11664)
+    panels) the exact top-k sort was 1.15 s of the 1.52 s warm repair
+    wall, while the 24 counting passes re-stream a ~12 MB panel from HBM
+    in milliseconds. The coverage certificate is the exact in-guard count
+    (≥ k candidates within ``guard_radius``), independent of τ."""
     from ptv_interpolation_tpu.interpolate.knn_weights import (
-        _idw_weights, _sibson_weights)
-    from ptv_interpolation_tpu.ops.neighbors import (
-        celllist_csr_tile_fn, map_query_tiles)
+        _idw_panel_weights, _sibson_panel_weights)
+    from ptv_interpolation_tpu.ops.neighbors import map_query_tiles
+    ncx, ncy, ncz = cells.dims
+    cap = cells.cap
+    n_offsets = (2 * rings + 1) ** 3
     n_sent = cells.n_points
-    neighbor = celllist_csr_tile_fn(cells, k, rings, exact_topk=True)
+    weight_fn = (_idw_panel_weights(power) if mode == "idw"
+                 else _sibson_panel_weights())
+    offs = jnp.asarray(
+        [[ox, oy, oz]
+         for oz in range(-rings, rings + 1)
+         for oy in range(-rings, rings + 1)
+         for ox in range(-rings, rings + 1)], jnp.int32)
+    g2 = jnp.float32(guard_radius) ** 2
 
     def tile(q_tile):
-        sq, idx = neighbor(q_tile)
-        ok = idx < n_sent
-        dist = jnp.sqrt(jnp.maximum(jnp.where(ok, sq, 1.0), 0.0))
-        good = ok[:, -1] & (dist[:, -1] <= guard_radius)
-        if mode == "idw":
-            w = _idw_weights(dist, power, ok)
-        else:
-            w = _sibson_weights(dist, ok)
-        vals = values_sorted[idx]           # sentinel rows gather zeros
-        return (jnp.einsum("tk,tkc->tc", w, vals,
-                           precision=jax.lax.Precision.HIGHEST), good)
+        T = q_tile.shape[0]
+        cidx = jnp.floor((q_tile - cells.origin) * cells.inv_cell)
+        cidx = jnp.clip(cidx.astype(jnp.int32), 0,
+                        jnp.asarray([ncx - 1, ncy - 1, ncz - 1]))
+        neigh = cidx[:, None, :] + offs[None, :, :]
+        in_range = jnp.all(
+            (neigh >= 0) & (neigh < jnp.asarray([ncx, ncy, ncz])), axis=-1)
+        cell_ids = (neigh[..., 2] * ncy + neigh[..., 1]) * ncx + neigh[..., 0]
+        cell_ids = jnp.where(in_range, cell_ids, 0)
+        s = cells.starts[cell_ids]
+        e = cells.starts[cell_ids + 1]
+        lane = jnp.arange(cap, dtype=jnp.int32)
+        cand = s[..., None] + lane[None, None, :]
+        ok = in_range[..., None] & (cand < e[..., None])
+        cand = jnp.where(ok, cand, n_sent).reshape(T, n_offsets * cap)
+        d2 = jnp.sum((q_tile[:, None, :] - cells.points_sorted[cand]) ** 2,
+                     axis=-1)
+        d2 = jnp.where(cand == n_sent, _BIG, d2)
+
+        kk = jnp.int32(min(k, n_offsets * cap))
+        good = jnp.sum((d2 <= g2).astype(jnp.int32), axis=1) >= kk
+
+        def bisect_body(_, carry):
+            lo, hi = carry
+            mid = 0.5 * (lo + hi)
+            c = jnp.sum((d2 <= mid).astype(jnp.int32), axis=1, keepdims=True)
+            short = c < kk
+            return jnp.where(short, mid, lo), jnp.where(short, hi, mid)
+
+        lo = jnp.zeros((T, 1), d2.dtype)
+        hi = jnp.full((T, 1), 1.0, d2.dtype) * g2
+        _, tau2 = jax.lax.fori_loop(0, 24, bisect_body, (lo, hi))
+
+        mask = d2 <= tau2
+        d = jnp.sqrt(jnp.maximum(d2, 0.0))
+        w = jnp.where(mask, weight_fn(d, mask, None), 0.0)
+        vals = values_sorted[cand]          # sentinel rows gather zeros
+        num = jnp.stack([jnp.sum(w * vals[..., c], axis=1)
+                         for c in range(values_sorted.shape[1])], axis=1)
+        den = jnp.sum(w, axis=1, keepdims=True)
+        return num / jnp.maximum(den, 1e-37), good
 
     return map_query_tiles(tile, queries, query_tile)
 
@@ -409,7 +503,7 @@ def repair_empty_nodes(out, den, points, values, grid: Grid, k: int,
                        mode: str, power: float = 2.0,
                        cells: CellList | None = None,
                        margin: float | None = None,
-                       skip_mask=None, values_sorted=None):
+                       skip_mask=None, values_sorted=None, block=None):
     """Escape hatch for nodes the block kernel cannot serve exactly:
     empty candidate regions (void regions of non-uniform clouds) and
     uncovered neighborhoods (k-th candidate beyond the kNN margin —
@@ -417,11 +511,16 @@ def repair_empty_nodes(out, den, points, values, grid: Grid, k: int,
     (the kernel's coverage sentinel) and are recomputed exactly in two
     stages:
 
-    1. cell-list kNN with ``rings`` sized for edge/corner geometry (the
-       k-th neighbor of a domain-corner node sits at ~2× the bulk k-th
-       radius, since only an octant of the neighborhood exists). Each
-       query self-certifies via the guaranteed-radius property; this
-       serves the ~1% edge/corner band in milliseconds.
+    1. a rerun of the block kernel at 1.6× the margin over just the blocks
+       containing uncovered nodes (``block`` given — the corner geometry
+       bound: a domain-corner node's k-th neighbor sits at ~2× the bulk
+       k-th radius, since only an octant of its neighborhood exists).
+       Shared candidate gathers make this ~10× cheaper than the per-query
+       cell-list panel it replaced (1.15 s → ~0.1 s at the 1M→256³ bench,
+       where the per-query path gathered 190M candidate rows for 14k
+       repair nodes). Queries self-certify via the coverage sentinel at
+       the widened margin. Without ``block``, the per-query cell-list kNN
+       panel (``_celllist_repair_eval[_csr]``) serves this stage instead.
     2. brute force against the full cloud for whatever stage 1 could not
        certify (genuine far-field voids) — chunked and shape-bucketed so
        no input can produce an unboundedly large device program.
@@ -458,8 +557,65 @@ def repair_empty_nodes(out, den, points, values, grid: Grid, k: int,
     kk = min(k, np.shape(points)[0])
     fixed = np.empty((n_fix, np.shape(values)[1]), np.float32)
     todo = np.arange(n_fix)
+    ran_subset = False
 
-    if cells is not None and margin is not None and len(todo):
+    if (cells is not None and margin is not None and block is not None
+            and values_sorted is not None and len(todo)):
+        # stage 1 (shared-candidate form): rerun the block kernel at 1.6×
+        # margin over just the uncovered blocks
+        from ptv_interpolation_tpu.interpolate.knn_weights import (
+            _idw_panel_weights, _sibson_panel_weights)
+        bz, by, bx = block
+        nzs, nys, nxs = np.shape(den)
+        nbz, nby, nbx = (_block_counts(nzs, bz), _block_counts(nys, by),
+                         _block_counts(nxs, bx))
+        blk = ((iz // bz) * nby + (iy // by)) * nbx + (ix // bx)
+        uniq, inv = np.unique(blk, return_inverse=True)
+        cell_size = 1.0 / float(np.asarray(cells.inv_cell)[0])
+        margin2 = 1.6 * float(margin)
+        dx, dy, dz = grid.spacing
+        mc2 = tuple(
+            int(math.ceil((ext + 2.0 * margin2) / cell_size)) + 1
+            for ext in (bx * dx, by * dy, bz * dz))[::-1]
+        row_len2 = _row_capacity(cells, mc2[2])
+        B = bz * by * bx
+        # skip when the padded subset dwarfs the repair population (void-
+        # dominated clouds scatter den==0 over most blocks — certification
+        # would fail there anyway and brute force does the real work)
+        if row_len2 <= 1024 and len(uniq) * B <= max(32 * n_fix, 64 * B):
+            def pad_axis2(ax, b):
+                n_ax = len(ax)
+                target = _block_counts(n_ax, b) * b
+                ax = np.asarray(ax, np.float32)
+                if target == n_ax:
+                    return jnp.asarray(ax)
+                step = ax[1] - ax[0] if n_ax > 1 else 1.0
+                extra = ax[-1] + step * np.arange(1, target - n_ax + 1)
+                return jnp.asarray(np.concatenate([ax, extra]), jnp.float32)
+
+            axes2 = (pad_axis2(grid.x, bx), pad_axis2(grid.y, by),
+                     pad_axis2(grid.z, bz))
+            n_pad = 1 << max(len(uniq) - 1, 1).bit_length()
+            ids = np.concatenate(
+                [uniq, np.broadcast_to(uniq[-1:], (n_pad - len(uniq),))])
+            weight_fn = (_idw_panel_weights(float(power)) if mode == "idw"
+                         else _sibson_panel_weights())
+            sub = _grid_block_weighted_sum_subset(
+                cells, values_sorted, axes2, jnp.float32(margin2),
+                jnp.asarray(ids, jnp.int32), kk, tuple(block),
+                (nzs, nys, nxs), mc2, row_len2, weight_fn, 8)
+            V1 = np.shape(values)[1]
+            local = ((iz % bz) * by + (iy % by)) * bx + (ix % bx)
+            rows = inv.astype(np.int64) * B + local
+            picked = np.asarray(
+                sub.reshape(-1, V1 + 1)[jnp.asarray(rows)])
+            good = picked[:, V1] > 0.0
+            fixed[good] = picked[good, :V1]
+            todo = todo[~good]
+            ran_subset = True
+
+    if (not ran_subset and cells is not None and margin is not None
+            and len(todo)):
         cell_size = 1.0 / float(np.asarray(cells.inv_cell)[0])
         # corners need ~2× the bulk k-th radius (octant geometry);
         # margin = 1.45·r_k, so 1.6·margin ≈ 2.3·r_k covers it with slack
@@ -597,7 +753,8 @@ def grid_weighted_interpolate(points, values, grid: Grid, k: int,
                                         tau_mode)
     return repair_empty_nodes(out, den, points, values_dev, grid, k, mode,
                               power, cells=cells, margin=margin,
-                              skip_mask=skip_mask, values_sorted=values_sorted)
+                              skip_mask=skip_mask, values_sorted=values_sorted,
+                              block=tuple(block))
 
 
 def grid_knn_apply(points, values, grid: Grid, k: int, consume_fn: Callable,

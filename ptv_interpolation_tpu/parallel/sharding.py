@@ -174,7 +174,7 @@ def sharded_grid_interpolate(points, values, grid: Grid, mesh: Mesh,
     return repair_empty_nodes(out[..., :-1], out[..., -1], points, values_dev,
                               grid, k, method, power, cells=cells,
                               margin=margin, skip_mask=skip_mask,
-                              values_sorted=values_sorted)
+                              values_sorted=values_sorted, block=tuple(block))
 
 
 # ---------------------------------------------------------------------------

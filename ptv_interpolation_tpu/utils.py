@@ -10,8 +10,23 @@ The reference's only observability is progress prints
 from __future__ import annotations
 
 import contextlib
+import os
 import time
 from typing import Dict, Optional
+
+
+def enable_compilation_cache(path: str | None = None) -> None:
+    """Point JAX's persistent compilation cache at ``path`` (default
+    ``$JAX_COMPILATION_CACHE_DIR`` or ``~/.jax_cache``).
+
+    Called by every CLI entry point: on TPU rigs where compilation goes
+    through a remote compile service, a cold 256³ program costs minutes —
+    the cache turns every later invocation (a new process per CLI run)
+    into a disk load. Safe to call repeatedly."""
+    import jax
+    path = (path or os.environ.get("JAX_COMPILATION_CACHE_DIR")
+            or os.path.expanduser("~/.jax_cache"))
+    jax.config.update("jax_compilation_cache_dir", path)
 
 
 class StageTimings:

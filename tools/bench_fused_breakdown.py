@@ -107,14 +107,15 @@ def main():
     field8 = fg._reassemble(out, block, dims, sz, grid.shape)
     field, den = field8[..., :V], field8[..., V]
 
-    t0 = time.time()
-    rep = repair_empty_nodes(field, den, pts, values_dev, grid, k, "sibson",
-                             2.0, cells=cells, margin=margin,
-                             values_sorted=values_sorted)
-    jax.block_until_ready(rep)
-    w_repair = time.time() - t0
-    print(f"{'repair (first call this process)':34s} {w_repair:7.3f}s",
-          flush=True)
+    w_repair = None
+    for tag in ("first call this process", "warm"):
+        t0 = time.time()
+        rep = repair_empty_nodes(field, den, pts, values_dev, grid, k,
+                                 "sibson", 2.0, cells=cells, margin=margin,
+                                 values_sorted=values_sorted, block=block)
+        jax.block_until_ready(rep)
+        w_repair = time.time() - t0
+        print(f"{'repair (' + tag + ')':34s} {w_repair:7.3f}s", flush=True)
 
     # ---- end-to-end warm ----
     def full():
