@@ -64,22 +64,26 @@ def _block_counts(n: int, b: int) -> int:
 
 @functools.partial(jax.jit, static_argnames=(
     "block", "grid_shape", "mc", "C", "group"))
-def _compact_gather(cells, values_sorted, axes, margin,
-                    block: Tuple[int, int, int],
-                    grid_shape: Tuple[int, int, int],
-                    mc: Tuple[int, int, int], C: int, group: int):
-    """Per grid block: gather the candidate cell rows once and compact them
-    into an (8, C) panel [x, y, z, u, v, w, 0, 0]; invalid slots get
-    far-sentinel coordinates and zero values. Returns (n_blocks, 8, C)."""
+def _compact_indices(cells, axes, margin,
+                     block: Tuple[int, int, int],
+                     grid_shape: Tuple[int, int, int],
+                     mc: Tuple[int, int, int], C: int, ids=None,
+                     group: int = 64):
+    """Per grid block: the (C,) compacted candidate source-row indices
+    (slots past the block's candidate count point at the sentinel row).
+    Pure index arithmetic — no gathers — so XLA fuses it into a fast
+    elementwise program. Returns (n_blocks, C) int32.
+
+    ``ids`` (optional, (n_sel,) int32): evaluate only these flat block
+    indices — the repair path reruns the kernel at a widened margin over
+    just the blocks containing uncovered nodes."""
     bz, by, bx = block
     nz, ny, nx = grid_shape
     nbz, nby, nbx = (_block_counts(nz, bz), _block_counts(ny, by),
                      _block_counts(nx, bx))
     mcz, mcy, mcx = mc
     ncx, ncy, ncz = cells.dims
-    R = mcz * mcy
     x_ax, y_ax, z_ax = axes
-    V = values_sorted.shape[1]
     n_sent = cells.points_sorted.shape[0] - 1024  # first sentinel row index
 
     roz = jax.lax.broadcasted_iota(jnp.int32, (mcz, mcy), 0).ravel()
@@ -111,21 +115,56 @@ def _compact_gather(cells, values_sorted, axes, margin,
                       axis=1)                                  # (C,)
         valid = slots < offsets[-1]
         g = start[row] + (slots - offsets[row])
-        g = jnp.where(valid, g, n_sent)   # sentinel row: coords 1e19
-        pts = cells.points_sorted[g]                           # (C, 3)
-        vals = jnp.where(valid[:, None], values_sorted[g], 0.0)  # (C, V)
-        panel = jnp.concatenate(
-            [pts.T, vals.T,
-             jnp.zeros((8 - 3 - V, C), jnp.float32)], axis=0)  # (8, C)
-        return panel
+        return jnp.where(valid, g, n_sent)   # sentinel row: coords 1e19
 
-    n_blocks = nbz * nby * nbx
+    if ids is None:
+        ids = jnp.arange(nbz * nby * nbx, dtype=jnp.int32)
+    n_blocks = ids.shape[0]
+    # bound the (g, C, R) row-search intermediate per map step — a bare
+    # vmap over every block would let a non-fused compare tensor reach GBs
     g = group
     while n_blocks % g:
         g //= 2
-    ids = jnp.arange(n_blocks, dtype=jnp.int32).reshape(-1, g)
-    out = jax.lax.map(jax.vmap(one_block), ids)
-    return out.reshape(n_blocks, 8, C)
+    out = jax.lax.map(jax.vmap(one_block), ids.reshape(-1, g))
+    return out.reshape(n_blocks, C)
+
+
+@jax.jit
+def _build_pts8_t(points_sorted, values_sorted):
+    """(8, N+pad) transposed candidate store [x,y,z,u,v,w,0,0]: the lane
+    layout the flat panel gather and the Pallas kernel both want. Sentinel
+    rows carry 1e19 coords (from ``points_sorted``'s padding) and zero
+    values (``values_sorted``'s padding), so compaction needs no explicit
+    validity channel."""
+    V = values_sorted.shape[1]
+    n = points_sorted.shape[0]
+    z = jnp.zeros((8 - 3 - V, n), jnp.float32)
+    return jnp.concatenate([points_sorted.T, values_sorted.T, z], axis=0)
+
+
+@jax.jit
+def _panel_take(pts8_t, G):
+    """One flat lane-gather: (8, N) taken at (n_blocks·C,) indices →
+    (8, n_blocks·C). A single big gather runs ~6× faster on TPU than the
+    per-block ``lax.map`` gathers it replaces (measured 0.22 s vs 1.34 s
+    for the 1M→256³ panel), and the lane-major result needs no transpose:
+    the Pallas kernel windows the lane axis directly via its BlockSpec."""
+    return jnp.take(pts8_t, G.reshape(-1), axis=1)
+
+
+def _compact_gather(cells, values_sorted, axes, margin,
+                    block: Tuple[int, int, int],
+                    grid_shape: Tuple[int, int, int],
+                    mc: Tuple[int, int, int], C: int, group: int = 8,
+                    ids=None, pts8_t=None):
+    """Candidate panel for the fused kernel: (8, n_blocks·C) lane-major,
+    rows [x, y, z, u, v, w, 0, 0]; invalid slots hold far-sentinel coords
+    and zero values."""
+    if pts8_t is None:
+        pts8_t = _build_pts8_t(cells.points_sorted, values_sorted)
+    G = _compact_indices(cells, axes, margin, block, grid_shape, mc, C,
+                         ids=ids)
+    return _panel_take(pts8_t, G)
 
 
 # ---------------------------------------------------------------------------
@@ -159,9 +198,9 @@ def _fused_kernel(m2_ref, cand_ref, qx_ref, qy_ref, qz_ref, out_ref,
     bz, by, bx = block
     Bt = sz * by * bx
 
-    cx = cand_ref[0, 0, :]
-    cy = cand_ref[0, 1, :]
-    cz = cand_ref[0, 2, :]
+    cx = cand_ref[0, :]
+    cy = cand_ref[1, :]
+    cz = cand_ref[2, :]
 
     # flat query coordinates for this (block, sub-tile), prebuilt in XLA —
     # Mosaic cannot relayout lane vectors across the query axes, so the
@@ -240,7 +279,7 @@ def _fused_kernel(m2_ref, cand_ref, qx_ref, qy_ref, qz_ref, out_ref,
     inv_den = 1.0 / jnp.maximum(den, 1e-37)
     # exact per-channel f32 VPU reductions (no MXU rounding)
     for c in range(V):
-        num = jnp.sum(d2[:] * cand_ref[0, 3 + c, :][None, :], axis=1)
+        num = jnp.sum(d2[:] * cand_ref[3 + c, :][None, :], axis=1)
         out_ref[0, 0, c, :] = num * inv_den
     out_ref[0, 0, V, :] = jnp.where(covered[:, 0], den, 0.0)
     for c in range(V + 1, 8):
@@ -248,15 +287,35 @@ def _fused_kernel(m2_ref, cand_ref, qx_ref, qy_ref, qz_ref, out_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("block", "dims", "sz"))
-def _build_queries(axes, block, dims, sz):
+def _build_queries(axes, block, dims, sz, ids=None):
     """Flat per-(block, sub-tile) query coordinate rows, (n_rows, 1, Bt)
     each for x/y/z — the (ibz, iby, ibx, j, tz, ty, tx) flattening the
-    Pallas kernel cannot do in-register."""
+    Pallas kernel cannot do in-register. With ``ids`` (n_sel,), rows are
+    built only for those flat block indices."""
     bz, by, bx = block
     nbz, nby, nbx = dims
     n_sub = bz // sz
-    shape = (nbz, nby, nbx, n_sub, sz, by, bx)
+    Bt = sz * by * bx
     x_ax, y_ax, z_ax = axes
+    if ids is not None:
+        n_sel = ids.shape[0]
+        ibz = ids // (nby * nbx)
+        iby = (ids // nbx) % nby
+        ibx = ids % nbx
+        shape = (n_sel, n_sub, sz, by, bx)
+        qx = jnp.broadcast_to(
+            x_ax[ibx[:, None] * bx + jnp.arange(bx)[None, :]]
+            .reshape(n_sel, 1, 1, 1, bx), shape)
+        qy = jnp.broadcast_to(
+            y_ax[iby[:, None] * by + jnp.arange(by)[None, :]]
+            .reshape(n_sel, 1, 1, by, 1), shape)
+        qz = jnp.broadcast_to(
+            z_ax[ibz[:, None] * bz + jnp.arange(bz)[None, :]]
+            .reshape(n_sel, n_sub, sz, 1, 1), shape)
+        n_rows = n_sel * n_sub
+        return (qx.reshape(n_rows, 1, Bt), qy.reshape(n_rows, 1, Bt),
+                qz.reshape(n_rows, 1, Bt))
+    shape = (nbz, nby, nbx, n_sub, sz, by, bx)
     qx = jnp.broadcast_to(
         x_ax.reshape(1, 1, nbx, 1, 1, 1, bx), shape)
     qy = jnp.broadcast_to(
@@ -264,7 +323,6 @@ def _build_queries(axes, block, dims, sz):
     qz = jnp.broadcast_to(
         z_ax.reshape(nbz, 1, 1, n_sub, sz, 1, 1), shape)
     n_rows = nbz * nby * nbx * n_sub
-    Bt = sz * by * bx
     return (qx.reshape(n_rows, 1, Bt), qy.reshape(n_rows, 1, Bt),
             qz.reshape(n_rows, 1, Bt))
 
@@ -274,8 +332,9 @@ def _build_queries(axes, block, dims, sz):
 def _fused_eval(m2, cand, qx_all, qy_all, qz_all, block, dims, sz, k, V, C,
                 mode, power, interpret=False):
     bz, by, bx = block
-    nbz, nby, nbx = dims
-    n_blocks = nbz * nby * nbx
+    # blocks come from the candidate panel, NOT dims: subset (repair)
+    # evaluation passes a panel holding only the uncovered blocks
+    n_blocks = cand.shape[1] // C
     n_sub = bz // sz
     Bt = sz * by * bx
 
@@ -288,7 +347,7 @@ def _fused_eval(m2, cand, qx_all, qy_all, qz_all, block, dims, sz, k, V, C,
         grid=(n_blocks, n_sub),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),              # m2 (1, 1)
-            pl.BlockSpec((1, 8, C), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((8, C), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),              # candidates
             q_spec, q_spec, q_spec,
         ],
@@ -312,10 +371,13 @@ def _fused_eval(m2, cand, qx_all, qy_all, qz_all, block, dims, sz, k, V, C,
 def _block_total_capacity(cells, axes_np, margin: float,
                           block: Tuple[int, int, int],
                           grid_shape: Tuple[int, int, int],
-                          mc: Tuple[int, int, int]) -> int:
+                          mc: Tuple[int, int, int], ids=None) -> int:
     """Max total candidate count over all blocks (the static panel width C
     for the compacted store) — the compaction analogue of
-    ``grid_knn._row_capacity``, summed over the block's candidate rows."""
+    ``grid_knn._row_capacity``, summed over the block's candidate rows.
+    With ``ids`` (flat block indices), the max is taken over that subset
+    only (the repair path's widened-margin panels stay as narrow as the
+    repair blocks allow)."""
     bz, by, bx = block
     nz, ny, nx = grid_shape
     nbz, nby, nbx = (_block_counts(nz, bz), _block_counts(ny, by),
@@ -350,6 +412,8 @@ def _block_total_capacity(cells, axes_np, margin: float,
                      0, ncy + 2 * mcy - 1)
     T1 = Wp[cz_idx].sum(axis=1)                      # (nbz, ncy+2mcy, nbx)
     tot = T1[:, cy_idx, :].sum(axis=2)               # (nbz, nby, nbx)
+    if ids is not None:
+        tot = tot.reshape(-1)[np.asarray(ids, np.int64)]
     return int(tot.max()) if tot.size else 1
 
 
@@ -418,6 +482,53 @@ def fused_grid_weighted_interpolate(points, values, grid: Grid, k: int,
                               power, cells=cells, margin=margin,
                               skip_mask=skip_mask, values_sorted=values_sorted,
                               block=tuple(block))
+
+
+def fused_subset_weighted_sum(cells, values_sorted, axes, margin: float,
+                              ids_np, k: int, block: Tuple[int, int, int],
+                              grid_shape: Tuple[int, int, int],
+                              mc: Tuple[int, int, int], mode: str,
+                              power: float, V: int,
+                              max_panel: int = 8192, group: int = 8):
+    """Fused-kernel analogue of ``grid_knn._grid_block_weighted_sum_subset``:
+    evaluate only the blocks in ``ids_np`` (host int array) at the given
+    (typically widened) margin. Returns ``(n_sel, B, V+1)`` in ids order
+    with the coverage-sentinel den channel, or ``None`` when the compacted
+    panel would not fit (caller falls back to the streaming subset kernel).
+
+    This is the repair stage-1 evaluator on TPU: the streaming subset
+    kernel re-streams a ~8.7k-wide padded panel from HBM for each of the
+    24+6 passes (~1 s warm at the 1M→256³ bench, where repair serves only
+    ~14k nodes); the compacted VMEM form is ~3× narrower and single-read.
+    """
+    bz, by, bx = block
+    axes_np = tuple(np.asarray(a) for a in axes)
+    C_raw = _block_total_capacity(cells, axes_np, margin, block, grid_shape,
+                                  mc, ids=ids_np)
+    C = max((C_raw + 127) // 128 * 128, 128)
+    if C > max_panel:
+        return None
+    nz, ny, nx = grid_shape
+    dims = (_block_counts(nz, bz), _block_counts(ny, by),
+            _block_counts(nx, bx))
+    sz = _pick_sz(bz, by, bx)
+    n_sub = bz // sz
+    g = group
+    n_pad = (len(ids_np) + g - 1) // g * g
+    ids_pad = np.concatenate(
+        [ids_np, np.broadcast_to(ids_np[-1:], (n_pad - len(ids_np),))])
+    ids_dev = jnp.asarray(ids_pad, jnp.int32)
+    cand = _compact_gather(cells, values_sorted, axes, jnp.float32(margin),
+                           tuple(block), grid_shape, mc, C, group,
+                           ids=ids_dev)
+    m2 = jnp.asarray([[margin * margin]], jnp.float32)
+    qx, qy, qz = _build_queries(axes, tuple(block), dims, sz, ids=ids_dev)
+    out = _fused_eval(m2, cand, qx, qy, qz, tuple(block), dims, sz, int(k),
+                      V, C, mode, float(power))
+    # (n_pad, n_sub, 8, Bt) → (n_pad, B, V+1) in local (tz, ty, tx) order
+    out = out.reshape(n_pad, n_sub, 8, sz, by * bx)
+    out = out.transpose(0, 1, 3, 4, 2).reshape(n_pad, bz * by * bx, 8)
+    return out[:len(ids_np), :, :V + 1]
 
 
 @functools.partial(jax.jit, static_argnames=("block", "dims", "sz",

@@ -582,7 +582,7 @@ def repair_empty_nodes(out, den, points, values, grid: Grid, k: int,
         # skip when the padded subset dwarfs the repair population (void-
         # dominated clouds scatter den==0 over most blocks — certification
         # would fail there anyway and brute force does the real work)
-        if row_len2 <= 1024 and len(uniq) * B <= max(32 * n_fix, 64 * B):
+        if len(uniq) * B <= max(32 * n_fix, 64 * B):
             def pad_axis2(ax, b):
                 n_ax = len(ax)
                 target = _block_counts(n_ax, b) * b
@@ -595,24 +595,37 @@ def repair_empty_nodes(out, den, points, values, grid: Grid, k: int,
 
             axes2 = (pad_axis2(grid.x, bx), pad_axis2(grid.y, by),
                      pad_axis2(grid.z, bz))
-            n_pad = 1 << max(len(uniq) - 1, 1).bit_length()
-            ids = np.concatenate(
-                [uniq, np.broadcast_to(uniq[-1:], (n_pad - len(uniq),))])
-            weight_fn = (_idw_panel_weights(float(power)) if mode == "idw"
-                         else _sibson_panel_weights())
-            sub = _grid_block_weighted_sum_subset(
-                cells, values_sorted, axes2, jnp.float32(margin2),
-                jnp.asarray(ids, jnp.int32), kk, tuple(block),
-                (nzs, nys, nxs), mc2, row_len2, weight_fn, 8)
             V1 = np.shape(values)[1]
-            local = ((iz % bz) * by + (iy % by)) * bx + (ix % bx)
-            rows = inv.astype(np.int64) * B + local
-            picked = np.asarray(
-                sub.reshape(-1, V1 + 1)[jnp.asarray(rows)])
-            good = picked[:, V1] > 0.0
-            fixed[good] = picked[good, :V1]
-            todo = todo[~good]
-            ran_subset = True
+            sub_rows = None
+            if jax.default_backend() == "tpu":
+                # fused VMEM subset kernel (compacted panel, single read)
+                from ptv_interpolation_tpu.ops.fused_grid_knn import (
+                    fused_subset_weighted_sum)
+                sub_rows = fused_subset_weighted_sum(
+                    cells, values_sorted, axes2, margin2, uniq, kk,
+                    tuple(block), (nzs, nys, nxs), mc2, mode, float(power),
+                    V1)
+            if sub_rows is None and row_len2 <= 1024:
+                weight_fn = (_idw_panel_weights(float(power))
+                             if mode == "idw" else _sibson_panel_weights())
+                n_pad = 1 << max(len(uniq) - 1, 1).bit_length()
+                ids = np.concatenate(
+                    [uniq, np.broadcast_to(uniq[-1:], (n_pad - len(uniq),))])
+                sub = _grid_block_weighted_sum_subset(
+                    cells, values_sorted, axes2, jnp.float32(margin2),
+                    jnp.asarray(ids, jnp.int32), kk, tuple(block),
+                    (nzs, nys, nxs), mc2, row_len2, weight_fn, 8)
+                sub_rows = sub.reshape(-1, V1 + 1)[:len(uniq) * B].reshape(
+                    len(uniq), B, V1 + 1)
+            if sub_rows is not None:
+                local = ((iz % bz) * by + (iy % by)) * bx + (ix % bx)
+                rows = inv.astype(np.int64) * B + local
+                picked = np.asarray(
+                    sub_rows.reshape(-1, V1 + 1)[jnp.asarray(rows)])
+                good = picked[:, V1] > 0.0
+                fixed[good] = picked[good, :V1]
+                todo = todo[~good]
+                ran_subset = True
 
     if (not ran_subset and cells is not None and margin is not None
             and len(todo)):
@@ -664,9 +677,14 @@ def repair_empty_nodes(out, den, points, values, grid: Grid, k: int,
             fixed[sel] = np.asarray(part)[:m]
 
     # device-side scatter of the repaired rows (out keeps (nz,ny,nx,V)
-    # C-order, so the flat den index addresses the same node)
+    # C-order, so the flat den index addresses the same node).
+    # ``flat`` is from nonzero → ascending + unique; declaring that lets
+    # XLA lower an in-place sorted scatter instead of the generic
+    # serialized form (~0.4 s for 14k rows at 256³ without the hints)
     V = out.shape[-1]
-    out = out.reshape(-1, V).at[flat].set(jnp.asarray(fixed))
+    out = out.reshape(-1, V).at[flat].set(jnp.asarray(fixed),
+                                          indices_are_sorted=True,
+                                          unique_indices=True)
     return out.reshape(np.shape(den) + (V,))
 
 

@@ -250,9 +250,23 @@ def auto_cell_size(n_points: int, bounds_lo, bounds_hi, k: int,
     return float(r_k * safety)
 
 
+@functools.partial(jax.jit, static_argnames=("pad",))
+def _device_sort_points(pts_dev, cell_id_dev, pad: int = 1024):
+    """Device half of the CSR build: stable argsort by cell id + the
+    sentinel-padded sorted point array. The 1M-point ``np.argsort`` +
+    fancy-index this replaces was ~1.1 s of host wall per call (the
+    single largest fixed cost of the fused headline path); on-device the
+    sort + gather is ~10 ms."""
+    order = jnp.argsort(cell_id_dev, stable=True).astype(jnp.int32)
+    points_sorted = jnp.concatenate(
+        [pts_dev[order], jnp.full((pad, 3), 1e19, jnp.float32)])
+    return order, points_sorted
+
+
 def build_cell_list(points, cell_size: float | None = None, k_hint: int = 32,
                     cap: int | None = None, max_cells: int = 2 ** 22,
-                    build_table: bool = True) -> CellList:
+                    build_table: bool = True,
+                    device: bool | None = None) -> CellList:
     """Bucket ``points`` into a cell list (host-driven: capacity and grid
     dims become static shapes for the query kernel).
 
@@ -265,6 +279,13 @@ def build_cell_list(points, cell_size: float | None = None, k_hint: int = 32,
         kernels and the CSR repair path only use the CSR layout; skipping
         the table saves its host build plus ~28 MB of device transfer at
         1M points.
+    device : run the permutation (stable argsort + point gather) on the
+        accelerator instead of numpy. Default: on for CSR-only builds of
+        ≥100k points. Host keeps the cheap scalar planning work (``starts``
+        via ``np.sort`` + ``searchsorted`` on the host-computed cell ids,
+        so capacities never need a device→host pull) and the result is
+        permutation-identical to the numpy path (both sorts are stable on
+        the same keys).
     """
     pts = np.asarray(points, np.float32)
     n = pts.shape[0]
@@ -284,6 +305,38 @@ def build_cell_list(points, cell_size: float | None = None, k_hint: int = 32,
     inv = 1.0 / cell_size
     cidx = np.clip(((pts - lo) * inv).astype(np.int64), 0, dims - 1)
     cell_id = (cidx[:, 2] * ncy + cidx[:, 1]) * ncx + cidx[:, 0]
+
+    if device is None:
+        device = (not build_table) and n >= 100_000
+
+    if device:
+        # starts/capacities from a keys-only host sort (~20 ms at 1M —
+        # np.sort on int keys is ~50× cheaper than argsort + 2 fancy
+        # gathers); the expensive permutation runs on the accelerator
+        sorted_cells = np.sort(cell_id, kind="stable")
+        counts64 = np.diff(
+            np.searchsorted(sorted_cells, np.arange(n_cells + 1)))
+        observed_cap = int(counts64.max()) if n else 1
+        if cap is None:
+            cap = observed_cap
+        starts = np.zeros(n_cells + 1, np.int32)
+        np.cumsum(counts64, out=counts64)
+        starts[1:] = counts64.astype(np.int32)
+        order, points_sorted = _device_sort_points(
+            jnp.asarray(pts), jnp.asarray(cell_id.astype(np.int32)))
+        return CellList(
+            table=jnp.asarray(np.full((1, 1), n, np.int32)),
+            points_padded=jnp.asarray(np.full((1, 3), 1e19, np.float32)),
+            origin=jnp.asarray(lo, jnp.float32),
+            inv_cell=jnp.asarray(np.full(3, inv, np.float32)),
+            starts=jnp.asarray(starts),
+            order=order,
+            points_sorted=points_sorted,
+            dims=(ncx, ncy, ncz),
+            cap=int(cap),
+            n_pts=int(n),
+            starts_host=starts,
+        )
 
     order = np.argsort(cell_id, kind="stable").astype(np.int32)
     sorted_cells = cell_id[order]

@@ -57,13 +57,14 @@ def main():
     k = K
 
     # ---- stage 0: host setup (cell build + device transfers) ----
-    t0 = time.time()
-    setup = _host_setup(pts, vals, grid, k, None, None, block, 1.45)
-    (cells, values_sorted, axes, margin, mc, _row_len, values_dev) = setup
-    jax.block_until_ready((cells.points_sorted, values_sorted))
-    t_setup = time.time() - t0
-    print(f"{'host setup (cold, incl transfer)':34s} {t_setup:7.3f}s",
-          flush=True)
+    for tag in ("cold", "warm"):
+        t0 = time.time()
+        setup = _host_setup(pts, vals, grid, k, None, None, block, 1.45)
+        (cells, values_sorted, axes, margin, mc, _row_len, values_dev) = setup
+        jax.block_until_ready((cells.points_sorted, values_sorted))
+        t_setup = time.time() - t0
+        print(f"{'host setup ' + tag + ' (incl transfer)':34s} "
+              f"{t_setup:7.3f}s", flush=True)
 
     axes_np = tuple(np.asarray(a) for a in axes)
     C_raw = fg._block_total_capacity(cells, axes_np, margin, block,
