@@ -139,8 +139,8 @@ def main():
         "value": round(wall, 3),
         "unit": "s",
         "vs_baseline": round(REFERENCE_SECONDS / wall, 2),
-        "l2_parity": round(l2, 6),
-        "divergence_parity": round(div_err, 6),
+        "l2_parity": float(f"{l2:.2e}"),
+        "divergence_parity": float(f"{div_err:.2e}"),
         "reference_seconds": REFERENCE_SECONDS,
     }
     print(json.dumps(result), flush=True)

@@ -194,7 +194,7 @@ def _panel_weights(d, mask, mode: str, power: float):
 
 
 def _fused_kernel(m2_ref, cand_ref, qx_ref, qy_ref, qz_ref, out_ref,
-                  d2, *, block, dims, sz, k, V, mode, power):
+                  d2, dd, *, block, dims, sz, k, V, mode, power):
     bz, by, bx = block
     Bt = sz * by * bx
 
@@ -238,48 +238,46 @@ def _fused_kernel(m2_ref, cand_ref, qx_ref, qy_ref, qz_ref, out_ref,
     hi0 = jnp.full((Bt, 1), 1.0, jnp.float32) * m2
     _, tau2 = jax.lax.fori_loop(0, _BISECT_ITERS, body, (lo0, hi0))
 
-    # panel becomes plain distances in place (sqrt is monotone, so the τ
-    # mask carries over); masked statistics are recomputed per reduction
-    # instead of materializing mask/weight panels — Mosaic stack VMEM is
-    # the scarce resource here
-    d2[:] = jnp.sqrt(jnp.maximum(d2[:], 0.0))
-    tau = jnp.sqrt(tau2)
+    # the τ mask is evaluated in the SQUARED domain (sel = d² ≤ τ²), the
+    # domain the bisection searched: Mosaic's sqrt is not correctly
+    # rounded, and re-deriving the mask as sqrt(d²) ≤ sqrt(τ²) dropped the
+    # k-th neighbor (whose d² sits within an ulp of τ² by construction)
+    # for ~1.4% of queries — n_sel 49, a 1e-4-scale weight error each
+    sel = d2[:] <= tau2
+    dd[:] = jnp.sqrt(jnp.maximum(d2[:], 0.0))
 
     if mode == "idw":
         if power == 2.0:
-            d2[:] = jnp.where(d2[:] <= tau,
-                              1.0 / (d2[:] * d2[:] + _EPS), 0.0)
+            dd[:] = jnp.where(sel, 1.0 / (dd[:] * dd[:] + _EPS), 0.0)
         else:
-            d2[:] = jnp.where(d2[:] <= tau,
-                              1.0 / (d2[:] ** power + _EPS), 0.0)
+            dd[:] = jnp.where(sel, 1.0 / (dd[:] ** power + _EPS), 0.0)
     else:
         # sibson (`interpolator.py:102-116`): masked mean/std/min of the
         # k-set distances, then inv-dist × shifted-exp smoothing. Stats are
         # panel reductions; only then is the panel overwritten by weights.
-        sel = d2[:] <= tau
         okf = sel.astype(jnp.float32)
         n_ok = jnp.maximum(jnp.sum(okf, axis=1, keepdims=True), 1.0)
-        s1 = jnp.sum(jnp.where(sel, d2[:], 0.0), axis=1, keepdims=True)
+        s1 = jnp.sum(jnp.where(sel, dd[:], 0.0), axis=1, keepdims=True)
         mean = s1 / n_ok
         # two-pass masked ddof=0 variance, NOT E[d²]−E[d]²: the one-pass
         # form cancels (std/mean)² ≈ 1e-2 of the mantissa and the resulting
         # ~1e-5 std error leaks through exp(-(d-dmin)/std) into the weights
         # (measured: headline L2 parity 1.8e-5 one-pass vs 1.1e-7 two-pass)
-        var = jnp.sum(jnp.where(sel, (d2[:] - mean) ** 2, 0.0), axis=1,
+        var = jnp.sum(jnp.where(sel, (dd[:] - mean) ** 2, 0.0), axis=1,
                       keepdims=True) / n_ok
         std = jnp.sqrt(var)
-        dmin = jnp.min(jnp.where(sel, d2[:], 3.4e38), axis=1, keepdims=True)
+        dmin = jnp.min(jnp.where(sel, dd[:], 3.4e38), axis=1, keepdims=True)
         dmin = jnp.where(dmin > 1e18, 0.0, dmin)
-        d2[:] = jnp.where(
-            d2[:] <= tau,
-            (1.0 / (d2[:] + _EPS))
-            * jnp.exp(-(d2[:] - dmin) / (std + _EPS)), 0.0)
+        dd[:] = jnp.where(
+            sel,
+            (1.0 / (dd[:] + _EPS))
+            * jnp.exp(-(dd[:] - dmin) / (std + _EPS)), 0.0)
 
-    den = jnp.sum(d2[:], axis=1)                                # (Bt,)
+    den = jnp.sum(dd[:], axis=1)                                # (Bt,)
     inv_den = 1.0 / jnp.maximum(den, 1e-37)
     # exact per-channel f32 VPU reductions (no MXU rounding)
     for c in range(V):
-        num = jnp.sum(d2[:] * cand_ref[3 + c, :][None, :], axis=1)
+        num = jnp.sum(dd[:] * cand_ref[3 + c, :][None, :], axis=1)
         out_ref[0, 0, c, :] = num * inv_den
     out_ref[0, 0, V, :] = jnp.where(covered[:, 0], den, 0.0)
     for c in range(V + 1, 8):
@@ -354,7 +352,8 @@ def _fused_eval(m2, cand, qx_all, qy_all, qz_all, block, dims, sz, k, V, C,
         out_specs=pl.BlockSpec((1, 1, 8, Bt), lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_blocks, n_sub, 8, Bt), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((Bt, C), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((Bt, C), jnp.float32),
+                        pltpu.VMEM((Bt, C), jnp.float32)],
         # the (Bt, C) panel plus Mosaic's expression temporaries exceed the
         # default 16 MB scoped budget; v5e has 128 MB VMEM per core
         compiler_params=pltpu.CompilerParams(
@@ -451,7 +450,7 @@ def fused_grid_weighted_interpolate(points, values, grid: Grid, k: int,
     bz, by, bx = block
 
     setup = _host_setup(points, values, grid, k, None, None, block,
-                        margin_factor)
+                        margin_factor, cell_divisor=3.0)
     (cells, values_sorted, axes, margin, mc, _row_len, values_dev) = setup
     axes_np = tuple(np.asarray(a) for a in axes)
 

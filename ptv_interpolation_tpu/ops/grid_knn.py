@@ -826,9 +826,16 @@ def _row_capacity(cells: CellList, mcx: int) -> int:
 
 
 def _host_setup(points, values, grid: Grid, k: int, cells, cell_size, block,
-                margin_factor):
+                margin_factor, cell_divisor: float = 2.0):
     """Shared host-side setup: cell list, margin, static candidate-region
     dimensions, row capacity, padded axes, and cell-sorted values.
+
+    ``cell_divisor``: auto cell edge = margin / cell_divisor. The
+    streaming path uses 2 (coarse cells → fewer, longer dynamic-slice
+    rows); the fused path passes 3 — finer cells track the dilated block
+    region ~17% tighter, shrinking the compacted panel C and with it both
+    the flat gather and the Pallas passes (measured 2.18 s → 1.88 s for
+    the two phases at the 1M→256³ bench; divisor 4 is flat again).
 
     On strongly clustered clouds (near-wall PTV seeding) the auto cell size
     can put >1024 points in one candidate row; rather than failing, the
@@ -847,7 +854,7 @@ def _host_setup(points, values, grid: Grid, k: int, cells, cell_size, block,
         density = n / float(np.prod(extent))
         r_k = (3.0 * k / (4.0 * math.pi * density)) ** (1.0 / 3.0)
         if cell_size is None:
-            cell_size = max(r_k * margin_factor / 2.0, 1e-6)
+            cell_size = max(r_k * margin_factor / cell_divisor, 1e-6)
         cells = build_cell_list(pts, cell_size=cell_size, build_table=False)
     else:
         cell_size = 1.0 / float(np.asarray(cells.inv_cell)[0])

@@ -59,7 +59,8 @@ def main():
     # ---- stage 0: host setup (cell build + device transfers) ----
     for tag in ("cold", "warm"):
         t0 = time.time()
-        setup = _host_setup(pts, vals, grid, k, None, None, block, 1.45)
+        setup = _host_setup(pts, vals, grid, k, None, None, block, 1.45,
+                            cell_divisor=3.0)
         (cells, values_sorted, axes, margin, mc, _row_len, values_dev) = setup
         jax.block_until_ready((cells.points_sorted, values_sorted))
         t_setup = time.time() - t0

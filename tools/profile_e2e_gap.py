@@ -43,7 +43,8 @@ def main():
             return time.time()
 
         t0 = time.time()
-        setup = _host_setup(pts, vals, grid, k, None, None, block, 1.45)
+        setup = _host_setup(pts, vals, grid, k, None, None, block, 1.45,
+                            cell_divisor=3.0)
         (cells, values_sorted, axes, margin, mc, _rl, values_dev) = setup
         jax.block_until_ready((cells.points_sorted, values_sorted))
         t0 = t("setup (blocked)", t0)
