@@ -41,11 +41,13 @@ def _barycentric_eval(transform, simplices, values, queries, simplex_idx,
 
 
 def linear_interpolate(points, values, queries, fill_value: float = 0.0,
-                       tri=None):
+                       tri=None, query_chunk: int = 4_000_000):
     """Piecewise-linear interpolation of ``values`` (N, C) at ``queries``.
 
     Pass a prebuilt ``scipy.spatial.Delaunay`` as ``tri`` to amortize the
     triangulation across calls (e.g. per-component or sharded evaluation).
+    ``query_chunk`` bounds the device gather intermediates — the one-shot
+    ``transform[idx]`` gather is (Q, 3, 3) f32, 26 GB at 16.7M queries.
     """
     from scipy.spatial import Delaunay, QhullError
 
@@ -58,38 +60,51 @@ def linear_interpolate(points, values, queries, fill_value: float = 0.0,
             raise ValueError(f"Delaunay triangulation failed: {e}")
 
     simplex_idx = tri.find_simplex(qrs).astype(np.int32)   # host walk (C)
-    return _barycentric_eval(
-        jnp.asarray(tri.transform, jnp.float32),
-        jnp.asarray(tri.simplices, jnp.int32),
-        jnp.asarray(values, jnp.float32),
-        jnp.asarray(qrs, jnp.float32),
-        jnp.asarray(simplex_idx),
-        jnp.float32(fill_value),
-    )
+    tr = jnp.asarray(tri.transform, jnp.float32)
+    simp = jnp.asarray(tri.simplices, jnp.int32)
+    vals = jnp.asarray(values, jnp.float32)
+    fv = jnp.float32(fill_value)
+    if len(qrs) <= query_chunk:
+        return _barycentric_eval(tr, simp, vals, jnp.asarray(qrs, jnp.float32),
+                                 jnp.asarray(simplex_idx), fv)
+    parts = []
+    for s in range(0, len(qrs), query_chunk):
+        parts.append(np.asarray(_barycentric_eval(
+            tr, simp, vals, jnp.asarray(qrs[s:s + query_chunk], jnp.float32),
+            jnp.asarray(simplex_idx[s:s + query_chunk]), fv)))
+    return jnp.asarray(np.concatenate(parts))
 
 
 def linear_grid_interpolate(points, values, grid, fill_value: float = 0.0,
-                            tri=None, pair_chunk: int = 4_000_000):
-    """Piecewise-linear (Delaunay) interpolation onto a regular grid by
-    **simplex rasterization** — the at-scale replacement for per-query
-    simplex walking.
+                            tri=None, pair_chunk: int = 4_000_000,
+                            evaluator: str = "auto"):
+    """Piecewise-linear (Delaunay) interpolation onto a regular grid —
+    the reference's production method (`run_porous_glass.py:18` →
+    `scipy.interpolate.griddata(method='linear')`,
+    `/root/reference/interpolator.py:197`).
 
-    ``scipy.interpolate.griddata(method='linear')``
-    (`/root/reference/interpolator.py:197`, the reference's production
-    method via `run_porous_glass.py:18`) walks the triangulation once per
-    query — ~10–20 sequential orientation tests each, per-query C calls
-    that dominate the wall at 16.7M grid nodes. On a *regular* grid the
-    containing-simplex relation inverts cheaply: each tetrahedron covers
-    only the grid nodes inside its bounding box (≈2–15 nodes at PTV
-    densities), so every (tet, node) candidate pair can be enumerated and
-    tested with vectorized barycentric coordinates — embarrassingly
-    parallel numpy passes instead of 16.7M pointer walks. The interpolant
-    is identical: a node inside tet T gets ``Σ bary_k · values[T_k]``, and
-    shared-face nodes get the same value from either side (the piecewise-
-    linear interpolant is continuous), so overlapping writes are benign.
+    Where the wall actually goes (measured at 1M pts → 256³,
+    `tools/measure_linear.py`): Qhull triangulation 42.7 s, walk+evaluate
+    7.8 s. The triangulation is the irreducible host stage — walks are
+    nearly free on grid-ordered queries in scipy ≥1.13 (the C evaluator
+    reuses the previous node's simplex as the walk seed). Three
+    evaluators are provided:
 
-    Returns ``(nz, ny, nx, C)`` float32; nodes outside the convex hull get
-    ``fill_value`` (the reference's ``fill_value=0.0`` contract).
+    * ``'walk'`` — scipy's compiled walk+blend over the grid nodes, the
+      fastest measured exact evaluator (7.8 s / 16.7M nodes). Default at
+      scale.
+    * ``'raster'`` — vectorized simplex rasterization (bbox candidate
+      pairs + barycentric tests, host numpy). Loses to 'walk' at every
+      measured size (88 s at 16.7M: ~2.3 tested pairs per covered node,
+      but each pair costs a 9-term dot plus 4 comparisons in numpy);
+      kept as an independent oracle for tests.
+    * ``'auto'`` — 'walk'.
+
+    The interpolant is identical in all cases: a node inside tet T gets
+    ``Σ bary_k · values[T_k]`` ('walk' vs 'raster' parity 2.8e-8 rel-L2
+    at the bench shape). Returns ``(nz, ny, nx, C)`` float32; nodes
+    outside the convex hull get ``fill_value`` (the reference's
+    ``fill_value=0.0`` contract).
     """
     from scipy.spatial import Delaunay, QhullError
 
@@ -100,6 +115,18 @@ def linear_grid_interpolate(points, values, grid, fill_value: float = 0.0,
             tri = Delaunay(pts)
         except QhullError as e:
             raise ValueError(f"Delaunay triangulation failed: {e}")
+
+    if evaluator in ("auto", "walk"):
+        from scipy.interpolate import LinearNDInterpolator
+        x = np.asarray(grid.x, np.float64)
+        y = np.asarray(grid.y, np.float64)
+        z = np.asarray(grid.z, np.float64)
+        ZZ, YY, XX = np.meshgrid(z, y, x, indexing="ij")
+        q = np.stack([XX.ravel(), YY.ravel(), ZZ.ravel()], axis=-1)
+        interp = LinearNDInterpolator(tri, vals, fill_value=float(fill_value))
+        out = interp(q)
+        return out.reshape(len(z), len(y), len(x),
+                           vals.shape[1]).astype(np.float32)
 
     x = np.asarray(grid.x, np.float64)
     y = np.asarray(grid.y, np.float64)

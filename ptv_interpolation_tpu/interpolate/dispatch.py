@@ -195,8 +195,9 @@ def interpolate_field(points, values, grid: Grid, method: str = "linear",
             return out[..., 0], out[..., 1], out[..., 2]
 
     if method == "linear":
-        # regular-grid targets always rasterize (exact same interpolant as
-        # the per-query walk, ~10× cheaper at scale; identical at 32³)
+        # grid targets use the fastest measured exact evaluator (scipy's
+        # walk+blend; Qhull triangulation dominates the wall either way —
+        # see interpolate/delaunay.py and BASELINE.md "linear")
         from ptv_interpolation_tpu.interpolate.delaunay import (
             linear_grid_interpolate)
         out = linear_grid_interpolate(points, values, grid, fill_value=0.0)

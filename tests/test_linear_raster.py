@@ -1,11 +1,13 @@
-"""Parity of the rasterized linear grid path vs scipy griddata.
+"""Parity of the grid linear evaluators vs scipy griddata.
 
-The rasterization (`interpolate/delaunay.py::linear_grid_interpolate`)
-replaces scipy's per-query simplex walk with vectorized bbox candidate
-tests over the same Delaunay triangulation — the interpolant must be
-identical (both are the unique piecewise-linear interpolant on the
-triangulation), including the fill_value=0 outside-hull contract
-(`/root/reference/interpolator.py:197`).
+`interpolate/delaunay.py::linear_grid_interpolate` serves the reference's
+production method (`/root/reference/interpolator.py:197` griddata-linear,
+production per `run_porous_glass.py:18`) with two evaluators over the
+same Delaunay triangulation: scipy's compiled walk+blend ('walk', the
+at-scale default — measured fastest exact evaluator) and a vectorized
+bbox-rasterization ('raster', an independent oracle). Both must produce
+the identical piecewise-linear interpolant, including the fill_value=0
+outside-hull contract.
 """
 
 import numpy as np
@@ -31,7 +33,8 @@ def test_raster_matches_griddata():
     from scipy.interpolate import griddata
 
     pts, vals, grid = _problem()
-    got = np.asarray(linear_grid_interpolate(pts, vals, grid))
+    got = np.asarray(linear_grid_interpolate(pts, vals, grid,
+                                             evaluator="raster"))
 
     ZZ, YY, XX = np.meshgrid(grid.z, grid.y, grid.x, indexing="ij")
     q = np.stack([XX.ravel(), YY.ravel(), ZZ.ravel()], axis=-1)
@@ -47,16 +50,29 @@ def test_raster_matches_griddata():
     assert inner.all()
 
 
+def test_walk_matches_raster():
+    pts, vals, grid = _problem(seed=3)
+    walk = np.asarray(linear_grid_interpolate(pts, vals, grid,
+                                              evaluator="walk"))
+    rast = np.asarray(linear_grid_interpolate(pts, vals, grid,
+                                              evaluator="raster"))
+    close = np.isclose(walk, rast, rtol=1e-5, atol=1e-6).all(axis=-1)
+    assert close.mean() > 0.9995
+    assert close[2:-2, 2:-2, 2:-2].all()
+
+
 def test_raster_fill_value_outside_hull():
     pts, vals, grid = _problem(n_pts=500)
     # confine the cloud: upper-z half of the grid is outside the hull
     pts[:, 2] *= 0.4
-    got = np.asarray(linear_grid_interpolate(pts, vals, grid))
-    assert np.all(got[-4:] == 0.0)
-    assert np.abs(got[:2]).max() > 0.0
+    for ev in ("walk", "raster"):
+        got = np.asarray(linear_grid_interpolate(pts, vals, grid,
+                                                 evaluator=ev))
+        assert np.all(got[-4:] == 0.0)
+        assert np.abs(got[:2]).max() > 0.0
 
 
-def test_interpolate_field_routes_linear_through_raster():
+def test_interpolate_field_routes_linear_through_grid_path():
     pts, vals, grid = _problem(n_pts=800, n=12)
     U, V, W = interpolate_field(pts, vals, grid, method="linear")
     got = np.asarray(linear_grid_interpolate(pts, vals, grid))
