@@ -140,7 +140,12 @@ def interpolate_values(points, values, queries, method: str = "linear",
     raise ValueError(f"unknown interpolation method {method!r}")
 
 
-_GRID_FASTPATH_MIN_WORK = 2 ** 33  # Q·N above which the block kernel wins
+# Q·N above which the block kernel wins. Measured crossover (TPU v5e,
+# warm): generic wins at 2^27 (0.19 s vs 0.43 s), the fused grid kernel
+# wins ≥2^31 (0.74 s vs 2.3 s at 8k pts → 64³, growing with size); 2^29
+# splits the gap. The old 2^33 left scenario-1-class problems (2^31) on
+# the generic path at 3× the cost.
+_GRID_FASTPATH_MIN_WORK = 2 ** 29
 
 
 def interpolate_field(points, values, grid: Grid, method: str = "linear",
