@@ -27,7 +27,7 @@ def log(msg):
 
 
 def emit(name, wall, extra=None):
-    rec = {"scenario": name, "value": round(wall, 3), "unit": "s"}
+    rec = {"scenario": name, "value": float(f"{wall:.4g}"), "unit": "s"}
     if extra:
         rec.update(extra)
     print(json.dumps(rec), flush=True)
