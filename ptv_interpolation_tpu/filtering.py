@@ -129,22 +129,49 @@ def _mad_consume(k: int, threshold: float):
 
 def knn_mad_mask_scatter(points, values, k: int = 25, threshold: float = 3.0,
                          **kwargs):
-    """At-scale kNN-MAD decisions via the scatter-block kernel
-    (ops/grid_knn.py): O(k) candidates per point instead of the
-    gather-bound generic path.
+    """At-scale kNN-MAD decisions.
 
-    Keep/drop decisions are robust to the approximate top-k (the MAD
-    statistics barely move when a far neighbor is swapped in): even at
-    ``recall_target=0.95`` decisions match ``exact_topk=True`` on ≥99.9%
-    of points (characterized in tests/test_filtering.py), and the shipped
-    default is the tighter ``recall_target=0.99``. ``kwargs``
-    (``exact_topk``, ``recall_target``, ...) forward to
-    :func:`scatter_knn_apply`."""
+    On TPU the default route is the fused panel kernel
+    (``ops/fused_mad.py``): every statistic the filter needs (k-th
+    distance, median, MAD) is an order statistic, found by monotone
+    counting over a VMEM-resident candidate panel — no sort, no
+    selection, no neighbor gathers (measured ~6× faster than the
+    selection path at 500k points). Queries the panel could not certify
+    (domain corners, density holes — flagged via the coverage sentinel)
+    are re-decided exactly through the selection-based scatter kernel.
+
+    Elsewhere (or when the cloud's density blows the VMEM budget, or a
+    caller pins selection behavior via ``kwargs``), the scatter-block
+    kernel serves: O(k) candidates per point via ``approx_min_k``; even
+    at ``recall_target=0.95`` decisions match ``exact_topk=True`` on
+    ≥99.9% of points (tests/test_filtering.py), shipped default 0.99."""
+    import jax
+
     from ptv_interpolation_tpu.ops.grid_knn import scatter_knn_apply
 
     pts = np.asarray(points, np.float32)
     v = np.asarray(values, np.float32)
     speed = np.sqrt((v * v).sum(axis=-1, keepdims=True))
+
+    if jax.default_backend() == "tpu" and not kwargs:
+        from ptv_interpolation_tpu.ops.fused_mad import fused_mad_filter
+        res = fused_mad_filter(pts, speed[:, 0], int(k), float(threshold))
+        if res is not None:
+            keep, kth, covered = res
+            unc = ~covered
+            n_unc = int(unc.sum())
+            if 0 < n_unc <= 0.05 * len(pts):
+                sub = scatter_knn_apply(
+                    pts, speed, pts[unc], k + 1,
+                    _mad_consume(int(k), float(threshold)), out_dim=2,
+                    exact_topk=True)
+                keep[unc] = sub[:, 0] > 0.5
+                kth[unc] = sub[:, 1]
+                n_unc = 0
+            if n_unc == 0:
+                return keep, float(np.median(kth))
+            # pathological coverage (>5% uncovered): selection path below
+
     out = scatter_knn_apply(pts, speed, pts, k + 1,
                             _mad_consume(int(k), float(threshold)),
                             out_dim=2, **kwargs)

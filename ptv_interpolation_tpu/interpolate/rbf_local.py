@@ -187,7 +187,12 @@ def _rbf_solve_flat(points, values, queries, sq, idx, k: int, kernel: str,
         [sq, jnp.ones((pad, k), jnp.float32)]) if pad else sq
     idx = jnp.concatenate(
         [idx, jnp.zeros((pad, k), jnp.int32)]) if pad else idx
-    px, py, pz = points[:, 0], points[:, 1], points[:, 2]
+    # (8, N) transposed store [x, y, z, f₀.., 0]: neighbor data is pulled
+    # with ONE flat lane-gather per chunk straight into (k, T) layout —
+    # six separate (k, T) scalar gathers ran ~4× slower
+    store8 = jnp.concatenate(
+        [points.T, values.T,
+         jnp.zeros((8 - 3 - n_ch, points.shape[0]), jnp.float32)], axis=0)
     eye_kk = jnp.eye(k, dtype=jnp.float32)[:, :, None]
 
     def do_chunk(args):
@@ -195,11 +200,12 @@ def _rbf_solve_flat(points, values, queries, sq, idx, k: int, kernel: str,
         T = q_c.shape[0]
         validT = (idx_c >= 0).T                     # (k,T)
         safeT = jnp.clip(idx_c, 0, None).T          # (k,T)
+        xi8 = jnp.take(store8, safeT.reshape(-1), axis=1).reshape(8, k, T)
         sqT = jnp.where(validT, sq_c.T, 0.0)        # (k,T) valid sq only
         scale = jnp.sqrt(jnp.maximum(jnp.max(sqT, axis=0), 1e-30))  # (T,)
-        xl = (px[safeT] - q_c[:, 0][None, :]) / scale[None, :]      # (k,T)
-        yl = (py[safeT] - q_c[:, 1][None, :]) / scale[None, :]
-        zl = (pz[safeT] - q_c[:, 2][None, :]) / scale[None, :]
+        xl = (xi8[0] - q_c[:, 0][None, :]) / scale[None, :]         # (k,T)
+        yl = (xi8[1] - q_c[:, 1][None, :]) / scale[None, :]
+        zl = (xi8[2] - q_c[:, 2][None, :]) / scale[None, :]
 
         dx = xl[:, None, :] - xl[None, :, :]        # (k,k,T)
         dy = yl[:, None, :] - yl[None, :, :]
@@ -223,7 +229,7 @@ def _rbf_solve_flat(points, values, queries, sq, idx, k: int, kernel: str,
             A = K
         rhs_rows = []
         for c in range(n_ch):
-            fcT = jnp.where(validT, values[:, c][safeT], 0.0)  # (k,T)
+            fcT = jnp.where(validT, xi8[3 + c], 0.0)           # (k,T)
             if m:
                 fcT = jnp.concatenate(
                     [fcT, jnp.zeros((m, T), jnp.float32)], axis=0)

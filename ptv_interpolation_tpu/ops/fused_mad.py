@@ -1,0 +1,344 @@
+"""Fused panel-based kNN-MAD outlier filter — order statistics by
+counting bisection, no sort, no per-query gathers.
+
+The reference filter (`/root/reference/filtering.py:5-58`) KDTree-queries
+each point's k+1 nearest (self included), then takes the median and MAD
+of the k neighbor *speeds*. A selection-based TPU port pays for
+`approx_min_k` plus neighbor gathers (~5.4 s at 500k points — the whole
+filter wall). But every statistic the filter needs is an order statistic,
+and order statistics are monotone-counting problems, the same shape as
+the interpolation kernel's exact-τ selection:
+
+* the (k+1)-th distance τ      = bisect t: #{d² ≤ t} ≥ k+1
+* the j-th smallest speed      = bisect t: #{s ≤ t, d² ≤ τ²} − [s₀ ≤ t] ≥ j
+* the j-th smallest |s − med|  = same, on the shifted speeds
+
+(`s₀` is the query's own speed — subtracting its indicator drops exactly
+one self-copy, which also handles coincident points the way the
+reference's `idx[:, 1:]` does.) So the whole filter runs per spatial
+block over one VMEM-resident candidate panel: ~120 counting passes on
+the VPU, ~50 KB of HBM traffic per block, decisions in one kernel.
+
+Median semantics match ``np.median`` on k values: the mean of the
+⌈k/2⌉-th and (⌊k/2⌋+1)-th order statistics (equal when k is odd), each
+pinned to ``range · 2⁻²⁴`` by 24 halvings.
+
+Queries are the points themselves, bucketed into margin-sized spatial
+blocks on the host exactly like ``grid_knn.scatter_knn_apply``; each
+occupied block shares one compacted candidate gather (the flat
+lane-gather of ``fused_grid_knn``).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ptv_interpolation_tpu.ops.neighbors import build_cell_list
+
+_BISECT = 24
+
+
+@functools.partial(jax.jit, static_argnames=("mc", "C", "group"))
+def _compact_indices_scatter(cells, lo_blocks, margin,
+                             mc: Tuple[int, int, int], C: int,
+                             group: int = 64):
+    """Scatter-block analogue of ``fused_grid_knn._compact_indices``:
+    block lows come from an (n_blocks, 3) array instead of grid axes.
+    Returns (n_blocks, C) int32 source rows (sentinel row for empty
+    slots)."""
+    mcz, mcy, mcx = mc
+    ncx, ncy, ncz = cells.dims
+    n_sent = cells.points_sorted.shape[0] - 1024
+
+    roz = jax.lax.broadcasted_iota(jnp.int32, (mcz, mcy), 0).ravel()
+    roy = jax.lax.broadcasted_iota(jnp.int32, (mcz, mcy), 1).ravel()
+    slots = jnp.arange(C, dtype=jnp.int32)
+
+    def one_block(lo):
+        base = jnp.floor(
+            (lo - margin - cells.origin) * cells.inv_cell).astype(jnp.int32)
+        cz = base[2] + roz
+        cy = base[1] + roy
+        row_ok = (cz >= 0) & (cz < ncz) & (cy >= 0) & (cy < ncy)
+        x0 = jnp.clip(base[0], 0, ncx)
+        x1 = jnp.clip(base[0] + mcx, 0, ncx)
+        rid = (cz * ncy + cy) * ncx
+        start = jnp.where(row_ok, cells.starts[rid + x0], 0)
+        end = jnp.where(row_ok, cells.starts[rid + x1], 0)
+        cnt = end - start
+        offsets = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(cnt)])
+        row = jnp.sum((slots[:, None] >= offsets[None, 1:]).astype(jnp.int32),
+                      axis=1)
+        valid = slots < offsets[-1]
+        g = start[row] + (slots - offsets[row])
+        return jnp.where(valid, g, n_sent)
+
+    n_blocks = lo_blocks.shape[0]
+    g = group
+    while n_blocks % g:
+        g //= 2
+    out = jax.lax.map(jax.vmap(one_block), lo_blocks.reshape(-1, g, 3))
+    return out.reshape(n_blocks, C)
+
+
+def _mad_kernel(sm_ref, cand_ref, qx_ref, qy_ref, qz_ref, qs_ref, out_ref,
+                d2, *, k, threshold, Bt, C):
+    cx = cand_ref[0, :]
+    cy = cand_ref[1, :]
+    cz = cand_ref[2, :]
+    cs = cand_ref[3, :]                                  # candidate speeds
+
+    qx = qx_ref[0, 0, :]
+    qy = qy_ref[0, 0, :]
+    qz = qz_ref[0, 0, :]
+    own = qs_ref[0, 0, :]                                # (Bt,)
+
+    d2[:] = (qx[:, None] - cx[None, :]) ** 2
+    d2[:] = d2[:] + (qy[:, None] - cy[None, :]) ** 2
+    d2[:] = d2[:] + (qz[:, None] - cz[None, :]) ** 2
+
+    m2 = sm_ref[0, 0]
+    smax = sm_ref[0, 1]
+    k1f = jnp.float32(k + 1)                             # selection incl self
+    cnt_in = jnp.sum((d2[:] <= m2).astype(jnp.float32), axis=1,
+                     keepdims=True)
+    covered = cnt_in >= k1f
+
+    def tau_body(_, carry):
+        lo, hi = carry
+        mid = 0.5 * (lo + hi)
+        c = jnp.sum((d2[:] <= mid).astype(jnp.float32), axis=1,
+                    keepdims=True)
+        short = c < k1f
+        return (jnp.where(short, mid, lo), jnp.where(short, hi, mid))
+
+    lo0 = jnp.zeros((Bt, 1), jnp.float32)
+    hi0 = jnp.full((Bt, 1), 1.0, jnp.float32) * m2
+    _, tau2 = jax.lax.fori_loop(0, _BISECT, tau_body, (lo0, hi0))
+
+    sel = d2[:] <= tau2                                  # k+1 set incl self
+
+    own_col = own[:, None]
+
+    def order_stat(vals_own, j, shifted=None):
+        """j-th smallest (1-indexed, f32) of the selected neighbor
+        values, self excluded by indicator subtraction. ``vals_own`` is
+        the query's own value on the counted axis (own speed, or
+        |own − med| when ``shifted=med`` counts |s − med| values)."""
+        def body(_, carry):
+            lo, hi = carry
+            mid = 0.5 * (lo + hi)
+            if shifted is None:
+                c = jnp.sum((sel & (cs[None, :] <= mid)).astype(jnp.float32),
+                            axis=1, keepdims=True)
+            else:
+                c = jnp.sum((sel & (jnp.abs(cs[None, :] - shifted)
+                                    <= mid)).astype(jnp.float32),
+                            axis=1, keepdims=True)
+            c = c - (vals_own <= mid).astype(jnp.float32)
+            short = c < j
+            return (jnp.where(short, mid, lo), jnp.where(short, hi, mid))
+
+        lo = jnp.zeros((Bt, 1), jnp.float32)
+        hi = jnp.full((Bt, 1), 1.0, jnp.float32) * smax
+        _, t = jax.lax.fori_loop(0, _BISECT, body, (lo, hi))
+        return t
+
+    jlo = jnp.float32((k + 1) // 2)
+    jhi = jnp.float32(k // 2 + 1)
+
+    med = 0.5 * (order_stat(own_col, jlo) + order_stat(own_col, jhi))
+
+    own_dev = jnp.abs(own_col - med)
+    mad = 0.5 * (order_stat(own_dev, jlo, shifted=med)
+                 + order_stat(own_dev, jhi, shifted=med))
+
+    z = own_dev / (mad + 1e-6)
+    keep = (z <= jnp.float32(threshold)).astype(jnp.float32)
+
+    out_ref[0, 0, :] = keep[:, 0]
+    out_ref[0, 1, :] = jnp.sqrt(tau2[:, 0])
+    out_ref[0, 2, :] = covered[:, 0].astype(jnp.float32)
+    out_ref[0, 3, :] = med[:, 0]
+    out_ref[0, 4, :] = mad[:, 0]
+    for c in range(5, 8):
+        out_ref[0, c, :] = jnp.zeros((Bt,), jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "threshold", "Bt", "C",
+                                             "interpret"))
+def _mad_eval(sm, cand, qx, qy, qz, qs, k: int, threshold: float, Bt: int,
+              C: int, interpret: bool = False):
+    n_blocks = cand.shape[1] // C
+    kern = functools.partial(_mad_kernel, k=k, threshold=threshold, Bt=Bt,
+                             C=C)
+    q_spec = pl.BlockSpec((1, 1, Bt), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),          # [m2, smax]
+            pl.BlockSpec((8, C), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            q_spec, q_spec, q_spec, q_spec,
+        ],
+        out_specs=pl.BlockSpec((1, 8, Bt), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_blocks, 8, Bt), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((Bt, C), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(sm, cand, qx, qy, qz, qs)
+
+
+@jax.jit
+def _build_store_t(points_sorted, speed_sorted):
+    """(8, N+pad) transposed candidate store [x, y, z, speed, 0...]."""
+    n = points_sorted.shape[0]
+    z = jnp.zeros((4, n), jnp.float32)
+    return jnp.concatenate(
+        [points_sorted.T, speed_sorted[None, :], z], axis=0)
+
+
+@jax.jit
+def _gather_queries(qrs_pad, speed_pad, q_table):
+    """Per-block padded query rows: (n_blocks, 1, Bt) × {x, y, z, s}."""
+    q = qrs_pad[q_table]                                  # (nb, Bt, 3)
+    s = speed_pad[q_table]                                # (nb, Bt)
+    nb, Bt = q_table.shape
+    return (q[:, :, 0].reshape(nb, 1, Bt), q[:, :, 1].reshape(nb, 1, Bt),
+            q[:, :, 2].reshape(nb, 1, Bt), s.reshape(nb, 1, Bt))
+
+
+def _lattice_capacity(cells, q_lo, edge, dims, uniq, margin, mc):
+    """Max compacted candidate count over the occupied scatter blocks —
+    numpy, from the host-side CSR starts (the scatter analogue of
+    ``fused_grid_knn._block_total_capacity``)."""
+    mcz, mcy, mcx = mc
+    ncx, ncy, ncz = cells.dims
+    origin = np.asarray(cells.origin)
+    inv = float(np.asarray(cells.inv_cell)[0])
+    starts_np = (cells.starts_host if cells.starts_host is not None
+                 else np.asarray(cells.starts)).astype(np.int64)
+    counts = np.diff(starts_np).reshape(ncz * ncy, ncx)
+    csum = np.concatenate([np.zeros((ncz * ncy, 1), np.int64),
+                           np.cumsum(counts, axis=1)], axis=1)
+
+    lows = [q_lo[d] + np.arange(dims[d]) * edge for d in range(3)]
+    base = [np.floor((lows[d] - margin - origin[d]) * inv).astype(np.int64)
+            for d in range(3)]
+    x0 = np.clip(base[0], 0, ncx)
+    x1 = np.clip(base[0] + mcx, 0, ncx)
+    W = (csum[:, x1] - csum[:, x0]).reshape(ncz, ncy, dims[0])
+    Wp = np.zeros((ncz + 2 * mcz, ncy + 2 * mcy, dims[0]), np.int64)
+    Wp[mcz:mcz + ncz, mcy:mcy + ncy] = W
+    cz_idx = np.clip(base[2][:, None] + np.arange(mcz)[None, :] + mcz,
+                     0, ncz + 2 * mcz - 1)
+    cy_idx = np.clip(base[1][:, None] + np.arange(mcy)[None, :] + mcy,
+                     0, ncy + 2 * mcy - 1)
+    T1 = Wp[cz_idx].sum(axis=1)                  # (nbz, ncy+2mcy, nbx)
+    tot = T1[:, cy_idx, :].sum(axis=2)           # (nbz, nby, nbx)
+    # occupied blocks: uniq are flat ids (iz*dims1 + iy)*dims0 + ix
+    uz = uniq // (dims[1] * dims[0])
+    uy = (uniq // dims[0]) % dims[1]
+    ux = uniq % dims[0]
+    sel = tot[uz, uy, ux]
+    return int(sel.max()) if sel.size else 1
+
+
+def fused_mad_filter(points, speeds, k: int, threshold: float,
+                     margin_factor: float = 1.9, max_panel: int = 8192,
+                     max_bt: int = 4096, interpret: bool = False):
+    """Keep/radius decisions of the kNN-MAD filter via the fused panel
+    kernel. Returns ``(keep, kth_dist, covered)`` numpy arrays in point
+    order, or ``None`` when the problem's density pushes the panel or
+    block population past the VMEM budget (callers fall back to the
+    selection-based scatter path).
+
+    ``margin_factor`` = 1.9 covers domain-*edge* neighborhoods (a corner
+    octant's k-th radius is ~2× the bulk's); the residual uncovered
+    fraction (extreme corners, density holes) is flagged in ``covered``
+    for the caller to re-decide exactly.
+    """
+    pts = np.asarray(points, np.float32)
+    s = np.asarray(speeds, np.float32).ravel()
+    n = pts.shape[0]
+
+    lo = pts.min(axis=0)
+    hi = pts.max(axis=0)
+    extent = np.maximum(hi - lo, 1e-12)
+    density = n / float(np.prod(extent))
+    r_k = (3.0 * (k + 1) / (4.0 * math.pi * density)) ** (1.0 / 3.0)
+    margin = r_k * margin_factor
+    cell_size = max(margin / 3.0, 1e-6)
+    cells = build_cell_list(pts, cell_size=cell_size, build_table=False)
+
+    edge = 2.0 * margin
+    dims = np.maximum(np.ceil(extent / edge).astype(int), 1)
+    bidx = np.clip(((pts - lo) / edge).astype(np.int64), 0, dims - 1)
+    bid = (bidx[:, 2] * dims[1] + bidx[:, 1]) * dims[0] + bidx[:, 0]
+    order = np.argsort(bid, kind="stable")
+    sorted_bid = bid[order]
+    uniq, inv_start = np.unique(sorted_bid, return_index=True)
+    counts = np.diff(np.append(inv_start, len(sorted_bid)))
+    b_cap = int(counts.max())
+    Bt = max((b_cap + 127) // 128 * 128, 128)
+    if Bt > max_bt:
+        return None
+    n_blocks = len(uniq)
+    q_table = np.full((n_blocks, Bt), n, np.int64)
+    rank = np.arange(len(sorted_bid)) - np.repeat(inv_start, counts)
+    q_table[np.repeat(np.arange(n_blocks), counts), rank] = order
+
+    mc = tuple(int(math.ceil((edge + 2.0 * margin) / cell_size)) + 1
+               for _ in range(3))
+    C_raw = _lattice_capacity(cells, lo, edge, dims, uniq, margin, mc)
+    C = max((C_raw + 127) // 128 * 128, 128)
+    if C > max_panel:
+        return None
+
+    uz = uniq // (dims[1] * dims[0])
+    uy = (uniq // dims[0]) % dims[1]
+    ux = uniq % dims[0]
+    lo_blocks = (lo[None, :]
+                 + np.stack([ux, uy, uz], axis=-1) * edge).astype(np.float32)
+
+    speed_sorted = jnp.concatenate(
+        [jnp.asarray(s)[cells.order], jnp.zeros((1024,), jnp.float32)])
+    store = _build_store_t(cells.points_sorted, speed_sorted)
+    G = _compact_indices_scatter(cells, jnp.asarray(lo_blocks),
+                                 jnp.float32(margin), mc, C)
+    cand = jnp.take(store, G.reshape(-1), axis=1)         # (8, nb·C)
+
+    qrs_pad = jnp.asarray(np.concatenate(
+        [pts, np.full((1, 3), 1e19, np.float32)]))
+    speed_pad = jnp.asarray(np.concatenate([s, np.zeros(1, np.float32)]))
+    qx, qy, qz, qs = _gather_queries(qrs_pad, speed_pad,
+                                     jnp.asarray(q_table, jnp.int32))
+
+    smax = float(s.max()) + 1.0 if n else 1.0
+    sm = jnp.asarray([[margin * margin, smax]], jnp.float32)
+    out = _mad_eval(sm, cand, qx, qy, qz, qs, int(k), float(threshold),
+                    Bt, C, interpret=bool(interpret))
+    out = np.asarray(out[:, :3, :])      # pull only keep/kth/covered
+
+    keep = np.ones(n, bool)
+    kth = np.zeros(n, np.float32)
+    covered = np.zeros(n, bool)
+    flat_idx = q_table.reshape(-1)
+    valid = flat_idx < n
+    keep[flat_idx[valid]] = out[:, 0, :].reshape(-1)[valid] > 0.5
+    kth[flat_idx[valid]] = out[:, 1, :].reshape(-1)[valid]
+    covered[flat_idx[valid]] = out[:, 2, :].reshape(-1)[valid] > 0.5
+    return keep, kth, covered

@@ -104,3 +104,34 @@ def test_scatter_mad_mask_parity():
                                    cloud.values.astype(np.float64), 25, 3.0)
     assert (keep_s == keep_ref).mean() > 0.995
     assert not keep_s[out_idx].any()
+
+
+def test_fused_mad_interpret_parity():
+    """The fused panel MAD kernel (ops/fused_mad.py) finds every filter
+    statistic by counting bisection; covered decisions must match the
+    reference KDTree formulation, and the kth-distance diagnostic must
+    match the true k-th neighbor distance to bisection precision."""
+    from scipy.spatial import KDTree
+
+    from ptv_interpolation_tpu.ops.fused_mad import fused_mad_filter
+
+    cloud, out_idx = _make_cloud(n=5000, n_outliers=40, seed=7)
+    speed = np.sqrt((cloud.values ** 2).sum(axis=1))
+    res = fused_mad_filter(cloud.points, speed, k=25, threshold=3.0,
+                           interpret=True)
+    assert res is not None
+    keep, kth, covered = res
+    assert covered.mean() > 0.9  # bulk certified at margin_factor 1.9
+
+    keep_ref = _reference_knn_mask(cloud.points.astype(np.float64),
+                                   cloud.values.astype(np.float64), 25, 3.0)
+    agree = (keep[covered] == keep_ref[covered]).mean()
+    assert agree > 0.998, f"covered-decision agreement {agree:.5f}"
+    # every planted gross outlier that is covered must drop
+    cov_out = covered[out_idx]
+    assert not keep[out_idx][cov_out].any()
+
+    tree = KDTree(cloud.points)
+    dist, _ = tree.query(cloud.points, k=26)
+    err = np.abs(kth[covered] - dist[covered, -1])
+    assert err.max() < 1e-3
