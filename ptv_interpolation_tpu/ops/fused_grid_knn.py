@@ -418,7 +418,11 @@ def _block_total_capacity(cells, axes_np, margin: float,
 
 def _pick_sz(bz: int, by: int, bx: int, target: int = 256) -> int:
     """Largest divisor of bz with a sub-tile of sz·by·bx ≤ target queries
-    (panel ≤ target × C f32 in VMEM)."""
+    (panel ≤ 2 · target × C f32 in VMEM). Bigger sub-tiles amortize the
+    per-invocation Mosaic overhead slightly (1024 measured ~5% faster
+    warm at the bench geometry) but inflate the Mosaic compile 3×
+    (fresh-cache first call 59.5 s at 256 vs 154.9 s at 1024) — cold
+    start is the scarcer resource."""
     best = 1
     for sz in range(1, bz + 1):
         if bz % sz == 0 and sz * by * bx <= target:
