@@ -19,9 +19,15 @@ content is ~30–60 points — ~9× more panel work per query than the XLA
 path's unaligned gathers. It is kept as an experimental backend
 (``ops.grid_knn.grid_weighted_interpolate(backend='pallas')``): the
 formulation wins when row content ≫ 128 (denser clouds / larger k), and it
-documents the full Pallas DMA/bisection machinery for future kernels. The
-XLA path remains the default and the correctness oracle (interpret-mode
-parity is tested in CI).
+documents the full Pallas DMA/bisection machinery for future kernels.
+
+**Superseded by ``ops/fused_grid_knn.py``** (the production default on
+TPU): the two-phase form keeps this kernel's VMEM bisection but replaces
+the alignment-hobbled per-row DMAs with an XLA flat lane-gather into a
+*compacted* panel — element-granular, no 128-lane floor — and beat both
+this kernel and the streaming XLA path (3.7 s vs 27.7 s / 8.2 s at the
+bench geometry). The streaming XLA path remains the cross-platform
+correctness oracle (interpret-mode parity is tested in CI).
 """
 
 from __future__ import annotations
