@@ -47,6 +47,16 @@ def _cr_weights(t):
 
 
 def _catmull_rom_3d(volume, coords):
+    """Tricubic Catmull-Rom via 16 packed-row gathers instead of 64
+    scalar gathers: the 4 x-taps of a sample are contiguous, so after
+    edge-padding x by 3 on each side each (z, y) tap is ONE lane-take
+    from a (4, ·) packed store. With 3-wide edge replication,
+    ``volp[j] = volume[clip(j-3, 0, nx-1)]``, the packed window at
+    ``xq = clip(base_x + 2, 0, nx + 2)`` reproduces the per-tap
+    ``clip(base_x + i - 1, 0, nx - 1)`` semantics exactly for every
+    base, in- or out-of-volume (the replicated margin absorbs the
+    clamp). Outputs are (4, Q) with queries on lanes, so nothing pads to
+    the 128-lane tile."""
     nz, ny, nx = volume.shape
     base = jnp.floor(coords)
     t = coords - base                                     # (3, Q)
@@ -54,16 +64,25 @@ def _catmull_rom_3d(volume, coords):
 
     wz = _cr_weights(t[0])
     wy = _cr_weights(t[1])
-    wx = _cr_weights(t[2])
+    wx = _cr_weights(t[2])                                # (4, Q)
+
+    # packed x-tap store, batch-minor: vol4t[i, (z·ny+y)·(nx+3)+xq] =
+    # volp[z, y, xq+i]. One flat lane-take per (z, y) tap returns the
+    # four x-taps as (4, Q) with queries on lanes — the same proven
+    # pattern as the interpolation kernel's panel gather. (A lax.gather
+    # with slice_sizes=(1,1,4) expresses this without the 4× store, but
+    # that lowering crashes the TPU runtime at multi-M query counts.)
+    volp = jnp.pad(volume, ((0, 0), (0, 0), (3, 3)), mode="edge")
+    vol4t = jnp.stack([volp[:, :, i:i + nx + 3].reshape(-1)
+                       for i in range(4)], axis=0)        # (4, nz·ny·(nx+3))
+    xq = jnp.clip(base[2] + 2, 0, nx + 2)                 # (Q,)
 
     out = jnp.zeros(coords.shape[1], jnp.float32)
     for iz in range(4):
         z_idx = jnp.clip(base[0] + iz - 1, 0, nz - 1)
         for iy in range(4):
             y_idx = jnp.clip(base[1] + iy - 1, 0, ny - 1)
-            # vectorize the innermost gather over the 4 x-taps
-            for ix in range(4):
-                x_idx = jnp.clip(base[2] + ix - 1, 0, nx - 1)
-                out = out + (wz[iz] * wy[iy] * wx[ix]
-                             * volume[z_idx, y_idx, x_idx])
+            flat = (z_idx * ny + y_idx) * (nx + 3) + xq   # (Q,)
+            rows = jnp.take(vol4t, flat, axis=1)          # (4, Q)
+            out = out + wz[iz] * wy[iy] * jnp.sum(wx * rows, axis=0)
     return out
