@@ -147,6 +147,10 @@ def _sibson_consume():
 def _idw_panel_weights(power: float):
     def weight_fn(d, mask, sq_topk):
         return 1.0 / (d ** power + _EPS)
+    # lets grid_weighted_interpolate prove the caller's weight_fn matches
+    # its ``mode`` before routing to the fused kernel (which re-derives
+    # the weights from mode/power and would silently drop a custom fn)
+    weight_fn.canned_mode = "idw"
     return weight_fn
 
 
@@ -176,6 +180,7 @@ def _sibson_panel_weights():
             dmin = d_k[:, :1]
         inv = 1.0 / (d + _EPS)
         return inv * jnp.exp(-(d - dmin) / (std + _EPS))
+    weight_fn.canned_mode = "sibson"
     return weight_fn
 
 

@@ -174,9 +174,9 @@ def _rbf_solve_flat(points, values, queries, sq, idx, k: int, kernel: str,
     nothing pads to the (8, 128) tile. The naive (T, k, 3) / (T, k, k)
     layouts pad their minor dims 3→128 / k→128 — running the same math
     inside the block kernel's consumer cost ~15 s at 128³/k=20 where
-    this formulation costs ~1 s. The (k+m)² systems transpose to
-    (T, k+m, k+m) only at the ``linalg.solve`` boundary (XLA's batched
-    LU is fast; the padding-hostile part is the assembly)."""
+    this formulation costs ~1.5 s. The (k+m)² systems are solved in the
+    same batch-minor layout by :func:`_gauss_solve_t` (see its docstring
+    for why TPU's batched-LU custom call is not used)."""
     m = n_poly_terms(degree)
     Q = queries.shape[0]
     n_pad = (Q + chunk - 1) // chunk * chunk

@@ -84,7 +84,7 @@ def _compact_indices(cells, axes, margin,
     mcz, mcy, mcx = mc
     ncx, ncy, ncz = cells.dims
     x_ax, y_ax, z_ax = axes
-    n_sent = cells.points_sorted.shape[0] - 1024  # first sentinel row index
+    n_sent = cells.n_points            # first sentinel row index
 
     roz = jax.lax.broadcasted_iota(jnp.int32, (mcz, mcy), 0).ravel()
     roy = jax.lax.broadcasted_iota(jnp.int32, (mcz, mcy), 1).ravel()
@@ -155,43 +155,22 @@ def _panel_take(pts8_t, G):
 def _compact_gather(cells, values_sorted, axes, margin,
                     block: Tuple[int, int, int],
                     grid_shape: Tuple[int, int, int],
-                    mc: Tuple[int, int, int], C: int, group: int = 8,
+                    mc: Tuple[int, int, int], C: int, group: int = 64,
                     ids=None, pts8_t=None):
     """Candidate panel for the fused kernel: (8, n_blocks·C) lane-major,
     rows [x, y, z, u, v, w, 0, 0]; invalid slots hold far-sentinel coords
-    and zero values."""
+    and zero values. ``group`` bounds the (group, C, R) slot-search
+    intermediate of the index stage."""
     if pts8_t is None:
         pts8_t = _build_pts8_t(cells.points_sorted, values_sorted)
     G = _compact_indices(cells, axes, margin, block, grid_shape, mc, C,
-                         ids=ids)
+                         ids=ids, group=group)
     return _panel_take(pts8_t, G)
 
 
 # ---------------------------------------------------------------------------
 # Phase 2: fused VMEM panel kernel (Pallas)
 # ---------------------------------------------------------------------------
-
-def _panel_weights(d, mask, mode: str, power: float):
-    """Unnormalized panel weights — the same masked-panel formulas as
-    ``interpolate/knn_weights.py::_idw_panel_weights/_sibson_panel_weights``
-    (bisect branch), restated here so the Pallas kernel carries no foreign
-    closures. IDW: `interpolator.py:141-147`; sibson: `:102-116` with the
-    row-min shift that cancels under normalization."""
-    if mode == "idw":
-        if power == 2.0:
-            return 1.0 / (d * d + _EPS)
-        return 1.0 / (d ** power + _EPS)
-    okf = mask.astype(d.dtype)
-    n_ok = jnp.maximum(jnp.sum(okf, axis=1, keepdims=True), 1.0)
-    d_ok = jnp.where(mask, d, 0.0)
-    mean = jnp.sum(d_ok, axis=1, keepdims=True) / n_ok
-    var = jnp.sum(okf * (d_ok - mean) ** 2, axis=1, keepdims=True) / n_ok
-    std = jnp.sqrt(jnp.maximum(var, 0.0))
-    dmin = jnp.min(jnp.where(mask, d, 3.4e38), axis=1, keepdims=True)
-    dmin = jnp.where(dmin > 1e18, 0.0, dmin)   # empty mask → harmless 0
-    inv = 1.0 / (d + _EPS)
-    return inv * jnp.exp(-(d - dmin) / (std + _EPS))
-
 
 def _fused_kernel(m2_ref, cand_ref, qx_ref, qy_ref, qz_ref, out_ref,
                   d2, dd, *, block, dims, sz, k, V, mode, power):
@@ -384,8 +363,14 @@ def _block_total_capacity(cells, axes_np, margin: float,
     mcz, mcy, mcx = mc
     ncx, ncy, ncz = cells.dims
     x_ax, y_ax, z_ax = axes_np
-    origin = np.asarray(cells.origin)
-    inv = float(np.asarray(cells.inv_cell)[0])
+    origin = np.asarray(cells.origin, np.float32)
+    inv = np.float32(np.asarray(cells.inv_cell)[0])
+    # the window base MUST be computed in f32 with the device kernel's
+    # exact op order ((lo - margin) - origin) * inv: in f64 the floor can
+    # land one cell off when the product sits within an f32 ulp of an
+    # integer, under-sizing C and silently truncating candidates that
+    # the coverage sentinel would never flag
+    m32 = np.float32(margin)
 
     starts_np = (cells.starts_host if cells.starts_host is not None
                  else np.asarray(cells.starts)).astype(np.int64)
@@ -393,12 +378,12 @@ def _block_total_capacity(cells, axes_np, margin: float,
     csum = np.concatenate([np.zeros((ncz * ncy, 1), np.int64),
                            np.cumsum(counts, axis=1)], axis=1)
 
-    base_x = np.floor((x_ax[np.arange(nbx) * bx] - margin - origin[0])
-                      * inv).astype(np.int64)
-    base_y = np.floor((y_ax[np.arange(nby) * by] - margin - origin[1])
-                      * inv).astype(np.int64)
-    base_z = np.floor((z_ax[np.arange(nbz) * bz] - margin - origin[2])
-                      * inv).astype(np.int64)
+    base_x = np.floor(((x_ax[np.arange(nbx) * bx].astype(np.float32) - m32)
+                       - origin[0]) * inv).astype(np.int64)
+    base_y = np.floor(((y_ax[np.arange(nby) * by].astype(np.float32) - m32)
+                       - origin[1]) * inv).astype(np.int64)
+    base_z = np.floor(((z_ax[np.arange(nbz) * bz].astype(np.float32) - m32)
+                       - origin[2]) * inv).astype(np.int64)
     x0 = np.clip(base_x, 0, ncx)
     x1 = np.clip(base_x + mcx, 0, ncx)
 

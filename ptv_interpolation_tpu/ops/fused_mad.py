@@ -56,7 +56,7 @@ def _compact_indices_scatter(cells, lo_blocks, margin,
     slots)."""
     mcz, mcy, mcx = mc
     ncx, ncy, ncz = cells.dims
-    n_sent = cells.points_sorted.shape[0] - 1024
+    n_sent = cells.n_points            # first sentinel row index
 
     roz = jax.lax.broadcasted_iota(jnp.int32, (mcz, mcy), 0).ravel()
     roy = jax.lax.broadcasted_iota(jnp.int32, (mcz, mcy), 1).ravel()
@@ -227,16 +227,23 @@ def _lattice_capacity(cells, q_lo, edge, dims, uniq, margin, mc):
     ``fused_grid_knn._block_total_capacity``)."""
     mcz, mcy, mcx = mc
     ncx, ncy, ncz = cells.dims
-    origin = np.asarray(cells.origin)
-    inv = float(np.asarray(cells.inv_cell)[0])
+    origin = np.asarray(cells.origin, np.float32)
+    inv = np.float32(np.asarray(cells.inv_cell)[0])
+    m32 = np.float32(margin)
     starts_np = (cells.starts_host if cells.starts_host is not None
                  else np.asarray(cells.starts)).astype(np.int64)
     counts = np.diff(starts_np).reshape(ncz * ncy, ncx)
     csum = np.concatenate([np.zeros((ncz * ncy, 1), np.int64),
                            np.cumsum(counts, axis=1)], axis=1)
 
-    lows = [q_lo[d] + np.arange(dims[d]) * edge for d in range(3)]
-    base = [np.floor((lows[d] - margin - origin[d]) * inv).astype(np.int64)
+    # f32 with the device kernel's exact op order — see
+    # fused_grid_knn._block_total_capacity for why; ``lows`` must be the
+    # same f32 values the driver pushes to the kernel as ``lo_blocks``
+    # (q_lo + idx·edge, all f32)
+    lows = [np.float32(q_lo[d])
+            + np.arange(dims[d], dtype=np.float32) * np.float32(edge)
+            for d in range(3)]
+    base = [np.floor(((lows[d] - m32) - origin[d]) * inv).astype(np.int64)
             for d in range(3)]
     x0 = np.clip(base[0], 0, ncx)
     x1 = np.clip(base[0] + mcx, 0, ncx)
@@ -305,14 +312,20 @@ def fused_mad_filter(points, speeds, k: int, threshold: float,
                for _ in range(3))
     C_raw = _lattice_capacity(cells, lo, edge, dims, uniq, margin, mc)
     C = max((C_raw + 127) // 128 * 128, 128)
-    if C > max_panel:
+    # the guards must bound the PRODUCT, not each factor: the Pallas
+    # scratch is (Bt, C) f32 and extreme-but-individually-allowed
+    # geometries (4096 × 8192 = 128 MB) would fail Mosaic compile
+    # instead of falling back to the selection path
+    if C > max_panel or Bt * C * 4 > 80 * 1024 * 1024:
         return None
 
     uz = uniq // (dims[1] * dims[0])
     uy = (uniq // dims[0]) % dims[1]
     ux = uniq % dims[0]
-    lo_blocks = (lo[None, :]
-                 + np.stack([ux, uy, uz], axis=-1) * edge).astype(np.float32)
+    # f32 arithmetic, matching _lattice_capacity's lattice lows bit-wise
+    lo_blocks = (lo[None, :].astype(np.float32)
+                 + np.stack([ux, uy, uz], axis=-1).astype(np.float32)
+                 * np.float32(edge))
 
     speed_sorted = jnp.concatenate(
         [jnp.asarray(s)[cells.order], jnp.zeros((1024,), jnp.float32)])

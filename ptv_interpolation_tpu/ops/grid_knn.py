@@ -48,6 +48,22 @@ def _block_counts(n: int, b: int) -> int:
     return (n + b - 1) // b
 
 
+def _pad_axis(ax, b: int):
+    """Axis coordinates padded to a block multiple (the padded tail
+    continues the grid spacing; out-of-range query results are sliced
+    away after reassembly). Shared by the main kernel's host setup and
+    the repair subset evaluator — the two MUST agree so repair blocks
+    see the same query coordinates as the main pass."""
+    ax = np.asarray(ax, np.float32)
+    n_ax = len(ax)
+    target = _block_counts(n_ax, b) * b
+    if target == n_ax:
+        return jnp.asarray(ax)
+    step = ax[1] - ax[0] if n_ax > 1 else 1.0
+    extra = ax[-1] + step * np.arange(1, target - n_ax + 1)
+    return jnp.asarray(np.concatenate([ax, extra]), jnp.float32)
+
+
 @functools.partial(jax.jit, static_argnames=(
     "k", "block", "grid_shape", "mc", "row_len", "out_dim", "consume_fn",
     "exact_topk", "recall_target", "group", "needs_positions"))
@@ -429,39 +445,17 @@ def _celllist_repair_eval_csr(cells: CellList, values_sorted, queries, k: int,
     (≥ k candidates within ``guard_radius``), independent of τ."""
     from ptv_interpolation_tpu.interpolate.knn_weights import (
         _idw_panel_weights, _sibson_panel_weights)
-    from ptv_interpolation_tpu.ops.neighbors import map_query_tiles
-    ncx, ncy, ncz = cells.dims
+    from ptv_interpolation_tpu.ops.neighbors import (
+        csr_candidate_panel, map_query_tiles)
     cap = cells.cap
     n_offsets = (2 * rings + 1) ** 3
-    n_sent = cells.n_points
     weight_fn = (_idw_panel_weights(power) if mode == "idw"
                  else _sibson_panel_weights())
-    offs = jnp.asarray(
-        [[ox, oy, oz]
-         for oz in range(-rings, rings + 1)
-         for oy in range(-rings, rings + 1)
-         for ox in range(-rings, rings + 1)], jnp.int32)
     g2 = jnp.float32(guard_radius) ** 2
 
     def tile(q_tile):
         T = q_tile.shape[0]
-        cidx = jnp.floor((q_tile - cells.origin) * cells.inv_cell)
-        cidx = jnp.clip(cidx.astype(jnp.int32), 0,
-                        jnp.asarray([ncx - 1, ncy - 1, ncz - 1]))
-        neigh = cidx[:, None, :] + offs[None, :, :]
-        in_range = jnp.all(
-            (neigh >= 0) & (neigh < jnp.asarray([ncx, ncy, ncz])), axis=-1)
-        cell_ids = (neigh[..., 2] * ncy + neigh[..., 1]) * ncx + neigh[..., 0]
-        cell_ids = jnp.where(in_range, cell_ids, 0)
-        s = cells.starts[cell_ids]
-        e = cells.starts[cell_ids + 1]
-        lane = jnp.arange(cap, dtype=jnp.int32)
-        cand = s[..., None] + lane[None, None, :]
-        ok = in_range[..., None] & (cand < e[..., None])
-        cand = jnp.where(ok, cand, n_sent).reshape(T, n_offsets * cap)
-        d2 = jnp.sum((q_tile[:, None, :] - cells.points_sorted[cand]) ** 2,
-                     axis=-1)
-        d2 = jnp.where(cand == n_sent, _BIG, d2)
+        cand, d2 = csr_candidate_panel(cells, q_tile, rings)
 
         kk = jnp.int32(min(k, n_offsets * cap))
         good = jnp.sum((d2 <= g2).astype(jnp.int32), axis=1) >= kk
@@ -583,18 +577,8 @@ def repair_empty_nodes(out, den, points, values, grid: Grid, k: int,
         # dominated clouds scatter den==0 over most blocks — certification
         # would fail there anyway and brute force does the real work)
         if len(uniq) * B <= max(32 * n_fix, 64 * B):
-            def pad_axis2(ax, b):
-                n_ax = len(ax)
-                target = _block_counts(n_ax, b) * b
-                ax = np.asarray(ax, np.float32)
-                if target == n_ax:
-                    return jnp.asarray(ax)
-                step = ax[1] - ax[0] if n_ax > 1 else 1.0
-                extra = ax[-1] + step * np.arange(1, target - n_ax + 1)
-                return jnp.asarray(np.concatenate([ax, extra]), jnp.float32)
-
-            axes2 = (pad_axis2(grid.x, bx), pad_axis2(grid.y, by),
-                     pad_axis2(grid.z, bz))
+            axes2 = (_pad_axis(grid.x, bx), _pad_axis(grid.y, by),
+                     _pad_axis(grid.z, bz))
             V1 = np.shape(values)[1]
             sub_rows = None
             if jax.default_backend() == "tpu":
@@ -740,9 +724,23 @@ def grid_weighted_interpolate(points, values, grid: Grid, k: int,
         return jnp.asarray(pallas_grid_weighted_interpolate(
             points, values, grid, k, mode=mode, power=power,
             margin_factor=margin_factor))
+    # the fused kernel derives its weights from mode/power internally —
+    # it must only serve calls whose weight_fn IS the canned formula for
+    # that mode (tagged by knn_weights' factories); a custom weight_fn
+    # would otherwise be silently dropped on TPU while honored on CPU
+    canned = getattr(weight_fn, "canned_mode", None) == mode
+    if backend == "fused" and not canned:
+        raise ValueError(
+            "backend='fused' computes its own idw/sibson weights and "
+            "cannot honor a custom weight_fn; use backend='xla'")
+    if backend == "fused" and (exact_tau or tau_mode != "bisect"):
+        raise ValueError(
+            "backend='fused' implements tau_mode='bisect' only; use "
+            "backend='xla' for approx/exact selection modes")
     if backend == "fused" or (
-            backend == "auto" and tau_mode == "bisect" and not exact_tau
-            and cells is None and mode in ("idw", "sibson")
+            backend == "auto" and canned and tau_mode == "bisect"
+            and not exact_tau and cells is None
+            and mode in ("idw", "sibson")
             and jax.default_backend() == "tpu"):
         from ptv_interpolation_tpu.ops.fused_grid_knn import (
             FusedCapacityError, fused_grid_weighted_interpolate)
@@ -892,17 +890,8 @@ def _host_setup(points, values, grid: Grid, k: int, cells, cell_size, block,
             f"block kernel; use the generic kNN path")
 
     # axes padded to block multiples (out-of-range queries are sliced away)
-    def pad_axis(ax, b):
-        n_ax = len(ax)
-        target = _block_counts(n_ax, b) * b
-        if target == n_ax:
-            return jnp.asarray(ax, jnp.float32)
-        step = ax[1] - ax[0] if n_ax > 1 else 1.0
-        extra = ax[-1] + step * np.arange(1, target - n_ax + 1)
-        return jnp.asarray(np.concatenate([ax, extra]), jnp.float32)
-
-    axes = (pad_axis(grid.x, block[2]), pad_axis(grid.y, block[1]),
-            pad_axis(grid.z, block[0]))
+    axes = (_pad_axis(grid.x, block[2]), _pad_axis(grid.y, block[1]),
+            _pad_axis(grid.z, block[0]))
 
     # values pushed to device ONCE; the cell-order sort reuses this copy and
     # so does the repair stage (a second jnp.asarray(np_values) in the

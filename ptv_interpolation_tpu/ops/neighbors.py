@@ -436,19 +436,17 @@ def celllist_tile_fn(cells: CellList, k: int, rings: int = 1,
     return per_tile
 
 
-def celllist_csr_tile_fn(cells: CellList, k: int, rings: int = 1,
-                         exact_topk: bool = True,
-                         recall_target: float = 0.99):
-    """Per-tile cell-list kNN through the CSR layout only — no dense
-    ``table`` / ``points_padded`` needed (those cost ~28 MB of device
-    transfer at 1M points; the CSR candidate indices are plain arithmetic
-    ``starts[cell] + lane`` instead of a table lookup).
+def csr_candidate_panel(cells: CellList, q_tile, rings: int):
+    """Shared CSR candidate-panel assembly: for each query in ``q_tile``
+    (T, 3), the ``(2·rings+1)³·cap`` candidate rows of its cell
+    neighborhood as indices into the **cell-sorted** arrays (plain
+    ``starts[cell] + lane`` arithmetic — no dense table), plus their
+    squared distances. Empty slots / out-of-range cells point at the
+    sentinel row ``cells.n_points`` and carry ``_BIG`` distances.
 
-    Returns ``fn(q_tile) -> (sq_dists, idx_sorted)`` where ``idx_sorted``
-    indexes the **cell-sorted** arrays (``points_sorted`` / a values array
-    sorted by ``cells.order``); slots beyond a cell's occupancy or outside
-    the grid point at the sentinel row ``cells.n_points`` (far coordinates,
-    zero values)."""
+    Returns ``(cand, d2)`` of shape (T, n_offsets·cap). Used by
+    :func:`celllist_csr_tile_fn` (kNN selection) and the repair
+    evaluator ``grid_knn._celllist_repair_eval_csr`` (τ-bisect weights)."""
     ncx, ncy, ncz = cells.dims
     cap = cells.cap
     n_offsets = (2 * rings + 1) ** 3
@@ -459,26 +457,45 @@ def celllist_csr_tile_fn(cells: CellList, k: int, rings: int = 1,
          for oy in range(-rings, rings + 1)
          for ox in range(-rings, rings + 1)], jnp.int32)
 
-    def per_tile(q_tile):
-        query_tile = q_tile.shape[0]
-        cidx = jnp.floor((q_tile - cells.origin) * cells.inv_cell).astype(jnp.int32)
-        cidx = jnp.clip(cidx, 0, jnp.asarray([ncx - 1, ncy - 1, ncz - 1]))
-        neigh = cidx[:, None, :] + offs[None, :, :]
-        in_range = jnp.all(
-            (neigh >= 0) & (neigh < jnp.asarray([ncx, ncy, ncz])), axis=-1)
-        cell_ids = (neigh[..., 2] * ncy + neigh[..., 1]) * ncx + neigh[..., 0]
-        cell_ids = jnp.where(in_range, cell_ids, 0)
-        s = cells.starts[cell_ids]                         # (T, 27)
-        e = cells.starts[cell_ids + 1]
-        lane = jnp.arange(cap, dtype=jnp.int32)
-        cand = s[..., None] + lane[None, None, :]          # (T, 27, cap)
-        ok = in_range[..., None] & (cand < e[..., None])
-        cand = jnp.where(ok, cand, n_sent).reshape(query_tile,
-                                                   n_offsets * cap)
-        cand_pts = cells.points_sorted[cand]
+    T = q_tile.shape[0]
+    cidx = jnp.floor((q_tile - cells.origin) * cells.inv_cell).astype(
+        jnp.int32)
+    cidx = jnp.clip(cidx, 0, jnp.asarray([ncx - 1, ncy - 1, ncz - 1]))
+    neigh = cidx[:, None, :] + offs[None, :, :]
+    in_range = jnp.all(
+        (neigh >= 0) & (neigh < jnp.asarray([ncx, ncy, ncz])), axis=-1)
+    cell_ids = (neigh[..., 2] * ncy + neigh[..., 1]) * ncx + neigh[..., 0]
+    cell_ids = jnp.where(in_range, cell_ids, 0)
+    s = cells.starts[cell_ids]                         # (T, 27)
+    e = cells.starts[cell_ids + 1]
+    lane = jnp.arange(cap, dtype=jnp.int32)
+    cand = s[..., None] + lane[None, None, :]          # (T, 27, cap)
+    ok = in_range[..., None] & (cand < e[..., None])
+    cand = jnp.where(ok, cand, n_sent).reshape(T, n_offsets * cap)
+    d2 = jnp.sum((q_tile[:, None, :] - cells.points_sorted[cand]) ** 2,
+                 axis=-1)
+    d2 = jnp.where(cand == n_sent, _BIG, d2)
+    return cand, d2
 
-        d2 = jnp.sum((q_tile[:, None, :] - cand_pts) ** 2, axis=-1)
-        d2 = jnp.where(cand == n_sent, _BIG, d2)
+
+def celllist_csr_tile_fn(cells: CellList, k: int, rings: int = 1,
+                         exact_topk: bool = True,
+                         recall_target: float = 0.99):
+    """Per-tile cell-list kNN through the CSR layout only — no dense
+    ``table`` / ``points_padded`` needed (those cost ~28 MB of device
+    transfer at 1M points).
+
+    Returns ``fn(q_tile) -> (sq_dists, idx_sorted)`` where ``idx_sorted``
+    indexes the **cell-sorted** arrays (``points_sorted`` / a values array
+    sorted by ``cells.order``); slots beyond a cell's occupancy or outside
+    the grid point at the sentinel row ``cells.n_points`` (far coordinates,
+    zero values)."""
+    cap = cells.cap
+    n_offsets = (2 * rings + 1) ** 3
+    n_sent = cells.n_points
+
+    def per_tile(q_tile):
+        cand, d2 = csr_candidate_panel(cells, q_tile, rings)
         kk = min(k, n_offsets * cap)
         if exact_topk:
             neg_top, args = jax.lax.top_k(-d2, kk)
