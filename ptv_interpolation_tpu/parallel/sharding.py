@@ -110,6 +110,7 @@ def sharded_grid_interpolate(points, values, grid: Grid, mesh: Mesh,
                              block=(8, 8, 16), recall_target: float = 0.9,
                              group: int = 8, margin_factor: float = 1.45,
                              tau_mode: str = "bisect", skip_mask=None,
+                             backend: str = "auto", interpret: bool = False,
                              axis_name: str = DATA_AXIS):
     """The block-centric τ-threshold kernel sharded over the mesh.
 
@@ -119,13 +120,23 @@ def sharded_grid_interpolate(points, values, grid: Grid, mesh: Mesh,
     the multi-chip form of the headline 1M→256³ benchmark kernel — work is
     embarrassingly parallel over slabs, so scaling is linear up to the
     broadcast cost. Returns (nz, ny, nx, C).
+
+    ``backend``: 'auto' (the fused two-phase kernel per slab on TPU with
+    ``tau_mode='bisect'``, the streaming XLA kernel elsewhere), 'fused',
+    or 'xla'. The fused slab form is the single-chip headline kernel
+    verbatim — phase-1 indices and the Pallas τ-bisect both run inside
+    ``shard_map`` with the candidate store replicated; the panel width C
+    is planned once on the host over the full padded grid, so every
+    slab compiles the same static shapes. ``interpret=True`` runs the
+    Pallas stage in interpret mode (the CPU-mesh parity tests).
     """
     import numpy as np
 
     from ptv_interpolation_tpu.interpolate.knn_weights import (
         _idw_panel_weights, _sibson_panel_weights)
     from ptv_interpolation_tpu.ops.grid_knn import (
-        _grid_block_weighted_sum, _host_setup, repair_empty_nodes)
+        _grid_block_weighted_sum, _host_setup, _pad_axis,
+        repair_empty_nodes)
 
     if method == "idw":
         weight_fn = _idw_panel_weights(float(power))
@@ -133,6 +144,10 @@ def sharded_grid_interpolate(points, values, grid: Grid, mesh: Mesh,
         weight_fn = _sibson_panel_weights()
     else:
         raise ValueError(f"sharded grid kernel supports idw/sibson, got {method!r}")
+
+    use_fused = backend == "fused" or (
+        backend == "auto" and tau_mode == "bisect"
+        and (jax.default_backend() == "tpu" or interpret))
 
     n_dev = mesh.devices.size
     bz = block[0]
@@ -142,7 +157,8 @@ def sharded_grid_interpolate(points, values, grid: Grid, mesh: Mesh,
     nz_pad = slab * n_dev
 
     (cells, values_sorted, axes, margin, mc, row_len, values_dev) = _host_setup(
-        points, values, grid, k, None, None, block, margin_factor)
+        points, values, grid, k, None, None, block, margin_factor,
+        cell_divisor=3.0 if use_fused else 2.0)
     x_ax, y_ax, _ = axes
     # padded z axis, one slab per device (each slab keeps real spacing)
     z_full = np.asarray(grid.z, np.float32)
@@ -153,25 +169,65 @@ def sharded_grid_interpolate(points, values, grid: Grid, mesh: Mesh,
     z_slabs = jnp.asarray(z_pad.reshape(n_dev, slab))
 
     slab_shape = (slab, grid.ny, grid.nx)
-
-    def local(cells_l, vals_l, x_l, y_l, z_slab):
-        out, den = _grid_block_weighted_sum(
-            cells_l, vals_l, (x_l, y_l, z_slab[0]), jnp.float32(margin), k,
-            tuple(block), slab_shape, mc, row_len, weight_fn,
-            recall_target, group, False, tau_mode)
-        # carry the weight sums along so the far-field fallback (nodes with
-        # an empty candidate region) can run after the slabs recombine —
-        # multi-chip must match single-chip on clouds with void regions
-        return jnp.concatenate([out, den[..., None]], axis=-1)[None]
-
     cell_specs = jax.tree_util.tree_map(lambda _: P(), cells)
-    fn = jax.shard_map(
-        local, mesh=mesh,
-        in_specs=(cell_specs, P(), P(), P(), P(axis_name)),
-        out_specs=P(axis_name), check_vma=False)
-    out = jax.jit(fn)(cells, values_sorted, x_ax, y_ax, z_slabs)
-    out = out.reshape(nz_pad, grid.ny, grid.nx, -1)[: grid.nz]
-    return repair_empty_nodes(out[..., :-1], out[..., -1], points, values_dev,
+
+    if use_fused:
+        from ptv_interpolation_tpu.ops import fused_grid_knn as fg
+
+        # panel width planned over the FULL padded grid → every slab
+        # shares one static C (the max over all slabs' blocks)
+        axes_np = (np.asarray(x_ax), np.asarray(y_ax), z_pad)
+        C = max((fg._block_total_capacity(
+            cells, axes_np, margin, tuple(block),
+            (nz_pad, grid.ny, grid.nx), mc) + 127) // 128 * 128, 128)
+        V = values_sorted.shape[1]
+        sz = fg._pick_sz(*block)
+        dims_slab = (slab // bz, fg._block_counts(grid.ny, block[1]),
+                     fg._block_counts(grid.nx, block[2]))
+        pts8_t = fg._build_pts8_t(cells.points_sorted, values_sorted)
+        m2 = jnp.asarray([[margin * margin]], jnp.float32)
+
+        def local(cells_l, pts8_l, m2_l, x_l, y_l, z_slab):
+            axes_l = (x_l, y_l, z_slab[0])
+            cand = fg._compact_gather(
+                cells_l, None, axes_l, jnp.float32(margin), tuple(block),
+                slab_shape, mc, C, group, pts8_t=pts8_l)
+            qx, qy, qz = fg._build_queries(axes_l, tuple(block), dims_slab,
+                                           sz)
+            out = fg._fused_eval(m2_l, cand, qx, qy, qz, tuple(block),
+                                 dims_slab, sz, int(k), V, C, method,
+                                 float(power), interpret=interpret)
+            out = fg._reassemble(out, tuple(block), dims_slab, sz,
+                                 slab_shape)
+            return out[None]                     # (1, slab, ny, nx, 8)
+
+        fn = jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(cell_specs, P(), P(), P(), P(), P(axis_name)),
+            out_specs=P(axis_name), check_vma=False)
+        out = jax.jit(fn)(cells, pts8_t, m2, x_ax, y_ax, z_slabs)
+        out = out.reshape(nz_pad, grid.ny, grid.nx, 8)[: grid.nz]
+        out, den = out[..., :V], out[..., V]
+    else:
+        def local(cells_l, vals_l, x_l, y_l, z_slab):
+            out, den = _grid_block_weighted_sum(
+                cells_l, vals_l, (x_l, y_l, z_slab[0]), jnp.float32(margin),
+                k, tuple(block), slab_shape, mc, row_len, weight_fn,
+                recall_target, group, False, tau_mode)
+            # carry the weight sums along so the far-field fallback (nodes
+            # with an empty candidate region) can run after the slabs
+            # recombine — multi-chip must match single-chip on clouds with
+            # void regions
+            return jnp.concatenate([out, den[..., None]], axis=-1)[None]
+
+        fn = jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(cell_specs, P(), P(), P(), P(axis_name)),
+            out_specs=P(axis_name), check_vma=False)
+        out = jax.jit(fn)(cells, values_sorted, x_ax, y_ax, z_slabs)
+        out = out.reshape(nz_pad, grid.ny, grid.nx, -1)[: grid.nz]
+        out, den = out[..., :-1], out[..., -1]
+    return repair_empty_nodes(out, den, points, values_dev,
                               grid, k, method, power, cells=cells,
                               margin=margin, skip_mask=skip_mask,
                               values_sorted=values_sorted, block=tuple(block))

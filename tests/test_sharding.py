@@ -156,3 +156,25 @@ def test_initialize_distributed_noop_single_process(monkeypatch):
     assert mesh_mod.initialize_distributed(
         coordinator_address="10.0.0.1:1234") is False
     assert len(calls) == 1
+
+
+def test_sharded_fused_kernel_matches_single_device(problem):
+    """The fused (Pallas) slab path inside shard_map — interpret mode on
+    the CPU mesh — must match the single-chip streaming kernel. This is
+    the multi-chip form of the headline kernel; on real TPU meshes
+    backend='auto' selects it."""
+    from ptv_interpolation_tpu.grid import create_grid
+    from ptv_interpolation_tpu.interpolate.knn_weights import (
+        sibson_grid_interpolate,
+    )
+    from ptv_interpolation_tpu.parallel.sharding import sharded_grid_interpolate
+    points, values, _ = problem
+    grid = create_grid(((0, 17), (0, 17), (0, 17)), 16)
+    mesh = make_mesh(8)
+    got = np.asarray(sharded_grid_interpolate(
+        points, values, grid, mesh, method="sibson", k=12, block=(2, 8, 8),
+        backend="fused", interpret=True))
+    want = np.asarray(sibson_grid_interpolate(
+        points, values, grid, k=12, block=(2, 8, 8)))
+    close = np.isclose(got, want, rtol=1e-3, atol=1e-4)
+    assert close.mean() > 0.999
