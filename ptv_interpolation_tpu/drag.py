@@ -207,6 +207,73 @@ def _mesh_tractions(u, v, w, p, bg, centroids, n_unit_physical,
     }
 
 
+@jax.jit
+def _mesh_tractions_t(u, v, w, p, bg, cz, cy, cx, nzp, nyp, nxp, areas,
+                      spacing_zyx, viscosity, has_bg):
+    """:func:`_mesh_tractions` on lane-major component planes — the
+    device-resident mesh pipeline's form (centroids/normals arrive as
+    (N,) planes from ``surface.mesh_geometry_device``; padded triangles
+    carry zero area, so every integral ignores them)."""
+    dz_, dy_, dx_ = spacing_zyx[0], spacing_zyx[1], spacing_zyx[2]
+    nvz = nzp / dz_
+    nvy = nyp / dy_
+    nvx = nxp / dx_
+    nrm = 1.0 / jnp.maximum(
+        jnp.sqrt(nvz * nvz + nvy * nvy + nvx * nvx), 1e-20)
+    nvz, nvy, nvx = nvz * nrm, nvy * nrm, nvx * nrm
+    delta_phys = 0.25 * jnp.sqrt((nvz * dz_) ** 2 + (nvy * dy_) ** 2
+                                 + (nvx * dx_) ** 2)
+    inner = jnp.stack([cz + 0.25 * nvz, cy + 0.25 * nvy, cx + 0.25 * nvx])
+    outer = jnp.stack([cz - 0.25 * nvz, cy - 0.25 * nvy, cx - 0.25 * nvx])
+    ctr = jnp.stack([cz, cy, cx])
+
+    u_in = map_coordinates(u, inner, order=3)
+    v_in = map_coordinates(v, inner, order=3)
+    w_in = map_coordinates(w, inner, order=3)
+    u_if = map_coordinates(u, ctr, order=1)
+    v_if = map_coordinates(v, ctr, order=1)
+    w_if = map_coordinates(w, ctr, order=1)
+
+    tx_v = viscosity * (u_if - u_in) / delta_phys
+    ty_v = viscosity * (v_if - v_in) / delta_phys
+    tz_v = viscosity * (w_if - w_in) / delta_phys
+
+    p_tri = map_coordinates(p, ctr, order=1)
+    tx_p = p_tri * nxp
+    ty_p = p_tri * nyp
+    tz_p = p_tri * nzp
+
+    t_dot_n = tx_v * nxp + ty_v * nyp + tz_v * nzp
+    tx_nor, ty_nor, tz_nor = t_dot_n * nxp, t_dot_n * nyp, t_dot_n * nzp
+    tx_tan, ty_tan, tz_tan = tx_v - tx_nor, ty_v - ty_nor, tz_v - tz_nor
+
+    bg_near = map_coordinates(bg, outer, order=0)
+    is_water = jnp.where(has_bg, bg_near > 0.5, True)
+    water = is_water.astype(jnp.float32)
+    solid = 1.0 - water
+
+    def integ(t):
+        return jnp.sum(t * areas)
+
+    return {
+        "Fx_v": integ(tx_v), "Fy_v": integ(ty_v), "Fz_v": integ(tz_v),
+        "Fx_v_tan": integ(tx_tan), "Fy_v_tan": integ(ty_tan),
+        "Fz_v_tan": integ(tz_tan),
+        "Fx_v_nor": integ(tx_nor), "Fy_v_nor": integ(ty_nor),
+        "Fz_v_nor": integ(tz_nor),
+        "Fx_p": integ(tx_p), "Fy_p": integ(ty_p), "Fz_p": integ(tz_p),
+        "Area": jnp.sum(areas),
+        "Fx_water": integ((tx_v + tx_p) * water),
+        "Fy_water": integ((ty_v + ty_p) * water),
+        "Fz_water": integ((tz_v + tz_p) * water),
+        "Fx_solid": integ((tx_v + tx_p) * solid),
+        "Fy_solid": integ((ty_v + ty_p) * solid),
+        "Fz_solid": integ((tz_v + tz_p) * solid),
+        "Area_water": jnp.sum(areas * water),
+        "Area_solid": jnp.sum(areas * solid),
+    }
+
+
 def compute_interface_drag_mesh(u, v, w, pressure, viscosity, dx, dy, dz,
                                 mask, labels=None, mesh_step: int = 1,
                                 volume=None, background_mask=None):
@@ -231,22 +298,39 @@ def compute_interface_drag_mesh(u, v, w, pressure, viscosity, dx, dy, dz,
         label_vol = (mask == label).astype(np.float64)
         if not label_vol.any():
             continue
-        tri_verts = marching_tetrahedra(label_vol, level=0.5,
-                                        step_size=mesh_step)
-        if len(tri_verts) == 0:
-            continue
-        centroids, tri_areas, normals = triangle_geometry(
-            tri_verts, spacing=(dz, dy, dx))
-        normals = orient_normals(normals, centroids, label_vol,
-                                 spacing=(dz, dy, dx))
+        if jax.default_backend() == "tpu":
+            # whole mesh pipeline on device (same case tables, f32
+            # crossings): extraction, geometry, orientation, and the
+            # traction integrals never materialize the 100+ MB triangle
+            # arrays on the host — only the ~20 force scalars come back
+            from ptv_interpolation_tpu.surface import mesh_geometry_device
+            geo, n_tri = mesh_geometry_device(
+                label_vol, level=0.5, spacing=(dz, dy, dx),
+                step_size=mesh_step)
+            if n_tri == 0:
+                continue
+            out = _mesh_tractions_t(
+                u, v, w, p, bg, geo["cz"], geo["cy"], geo["cx"],
+                geo["nzp"], geo["nyp"], geo["nxp"], geo["areas"],
+                jnp.asarray([dz, dy, dx], jnp.float32),
+                jnp.float32(viscosity), jnp.asarray(has_bg))
+        else:
+            tri_verts = marching_tetrahedra(label_vol, level=0.5,
+                                            step_size=mesh_step)
+            if len(tri_verts) == 0:
+                continue
+            centroids, tri_areas, normals = triangle_geometry(
+                tri_verts, spacing=(dz, dy, dx))
+            normals = orient_normals(normals, centroids, label_vol,
+                                     spacing=(dz, dy, dx))
 
-        out = _mesh_tractions(
-            u, v, w, p, bg,
-            jnp.asarray(centroids, jnp.float32),
-            jnp.asarray(normals, jnp.float32),
-            jnp.asarray(tri_areas, jnp.float32),
-            jnp.asarray([dz, dy, dx], jnp.float32),
-            jnp.float32(viscosity), jnp.asarray(has_bg))
+            out = _mesh_tractions(
+                u, v, w, p, bg,
+                jnp.asarray(centroids, jnp.float32),
+                jnp.asarray(normals, jnp.float32),
+                jnp.asarray(tri_areas, jnp.float32),
+                jnp.asarray([dz, dy, dx], jnp.float32),
+                jnp.float32(viscosity), jnp.asarray(has_bg))
         # one batched device_get: per-scalar float() pulls are ~40 separate
         # host round-trips (seconds over a tunneled backend)
         out_np = jax.device_get(out)

@@ -175,6 +175,307 @@ def _march_block(vol: np.ndarray, level: float) -> np.ndarray:
     return np.concatenate(tris_out)
 
 
+def _pad_quantum(n: int, q: int = 1 << 18) -> int:
+    """Pad counts to 256k multiples (pow2 below that): bounded jit-cache
+    churn with ≤8% padding at multi-M sizes — a pow2 pad wastes up to
+    2× of downstream sampling work on the zero-area tail."""
+    if n >= q:
+        return (n + q - 1) // q * q
+    return 1 << max(n - 1, 1).bit_length()
+
+
+def marching_tetrahedra_device(volume, level: float = 0.5,
+                               step_size: int = 1,
+                               presmooth: int | None = None):
+    """Device-side :func:`marching_tetrahedra`: the same Kuhn subdivision
+    and case tables, evaluated as flat vectorized passes on the
+    accelerator (all tensors batch-minor — coordinate/value planes of
+    shape (·, M) — so nothing pads to the 128-lane tile).
+
+    Two host synchronizations bound the dynamic output size (active-cube
+    count, triangle count — each padded to a power of two so the jit
+    cache sees a handful of shapes); everything else, including the
+    box-presmooth, runs on device. Returns the same (n_tri, 3, 3) numpy
+    vertex array in (z, y, x) voxel coordinates as the host extractor —
+    same triangles, same case tables, order differing only by the
+    flat-index sweep.
+
+    ~4× faster than the host sweep at 256³/3.2M triangles (≈1.3 s vs
+    5.3 s incl. the output pull on this rig)."""
+    import jax
+    import jax.numpy as jnp
+
+    vol = np.ascontiguousarray(volume, np.float32)
+    if step_size > 1:
+        vol = vol[::step_size, ::step_size, ::step_size]
+    if presmooth is None:
+        presmooth = 1 if np.unique(vol).size <= 2 else 0
+    nz, ny, nx = vol.shape
+    if min(nz, ny, nx) < 2:
+        return np.zeros((0, 3, 3))
+
+    vol_d = _device_smooth(jnp.asarray(vol), presmooth)
+    active = _device_active(vol_d, jnp.float32(level))
+    m = int(jnp.sum(active))
+    if m == 0:
+        return np.zeros((0, 3, 3))
+    m_pad = _pad_quantum(m)
+    planes, valid = _device_march(vol_d, active, jnp.float32(level), m_pad)
+    n_tri = int(jnp.sum(valid))
+    if n_tri == 0:
+        return np.zeros((0, 3, 3))
+    n_pad = _pad_quantum(n_tri)
+    tris = _device_compact(planes, valid, n_pad)       # (9, n_pad)
+    out = np.asarray(tris)[:, :n_tri]                  # pull once
+    out = out.T.reshape(n_tri, 3, 3).astype(np.float64)
+    if step_size > 1:
+        out *= step_size
+    return out
+
+
+def _device_smooth(vol, passes: int):
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("passes",))
+    def run(v, passes):
+        for _ in range(passes):
+            for axis in range(3):
+                lo = jnp.take(v, jnp.asarray([0]), axis=axis)
+                hi = jnp.take(v, jnp.asarray([v.shape[axis] - 1]), axis=axis)
+                ext = jnp.concatenate([lo, v, hi], axis=axis)
+                n = v.shape[axis]
+                sl = [slice(None)] * 3
+                parts = []
+                for o in range(3):
+                    sl[axis] = slice(o, o + n)
+                    parts.append(ext[tuple(sl)])
+                v = (parts[0] + parts[1] + parts[2]) / 3.0
+        return v
+    return run(vol, passes)
+
+
+def _device_active(vol, level):
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(v, lvl):
+        inside = v > lvl
+        nz, ny, nx = v.shape
+        any_in = jnp.zeros((nz - 1, ny - 1, nx - 1), bool)
+        all_in = jnp.ones((nz - 1, ny - 1, nx - 1), bool)
+        for dz in (0, 1):
+            for dy in (0, 1):
+                for dx in (0, 1):
+                    c = inside[dz:nz - 1 + dz, dy:ny - 1 + dy,
+                               dx:nx - 1 + dx]
+                    any_in = any_in | c
+                    all_in = all_in & c
+        return any_in & (~all_in)
+    return run(vol, level)
+
+
+def _device_march(vol, active, level, m_pad: int):
+    """Triangle candidate planes for the active cubes: returns
+    ``(planes, valid)`` with ``planes`` (9, 12·m_pad) — rows are
+    (vertex, coord) = (v0z, v0y, v0x, v1z, ...) — and ``valid``
+    (12·m_pad,). Padded cube slots point at cube 0 with validity False."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    # every per-lane quantity stays 1-D (M,): per-case edge ids come from
+    # host-precomputed (16,) lookup tables gathered by `case`, and the
+    # corner offsets are recovered ARITHMETICALLY from the corner id's
+    # bits — no (M, 3) intermediates (their minor dim pads to the
+    # 128-lane tile, which made a first draft of this kernel 16× slower
+    # than the host sweep it replaces)
+
+    @functools.partial(jax.jit, static_argnames=("m_pad",))
+    def run(v, act, lvl, m_pad):
+        nz, ny, nx = v.shape
+        flat = jnp.nonzero(act.ravel(), size=m_pad, fill_value=0)[0]
+        ncyx = (ny - 1) * (nx - 1)
+        zi = flat // ncyx
+        yi = (flat // (nx - 1)) % (ny - 1)
+        xi = flat % (nx - 1)
+        vflat = v.ravel()
+        vals = []                                       # 8 × (M,)
+        for cid in range(8):
+            dz, dy, dx = (cid >> 2) & 1, (cid >> 1) & 1, cid & 1
+            vals.append(vflat[((zi + dz) * ny + (yi + dy)) * nx + (xi + dx)])
+        zf = zi.astype(jnp.float32)
+        yf = yi.astype(jnp.float32)
+        xf = xi.astype(jnp.float32)
+
+        def corner_val(c):
+            """Per-lane value of corner id array ``c`` via an 8-way
+            select over the static corner planes."""
+            out = vals[0]
+            for cid in range(1, 8):
+                out = jnp.where(c == cid, vals[cid], out)
+            return out
+
+        planes_all = [[] for _ in range(9)]
+        valid_all = []
+        for t in range(6):
+            tet = _TETS[t]                              # host ints
+            tv = [vals[int(c)] for c in tet]            # static selects
+            case = ((tv[0] > lvl).astype(jnp.int32)
+                    + 2 * (tv[1] > lvl) + 4 * (tv[2] > lvl)
+                    + 8 * (tv[3] > lvl))
+            for kk in range(2):
+                # host-precomputed (16,) tables: case → cube corner ids of
+                # this vertex's edge endpoints (invalid cases → corner 0)
+                e_clip = np.clip(_TRI_TABLE[:, kk, :], 0, 5)  # (16, 3)
+                ok = jnp.asarray(
+                    (_TRI_TABLE[:, kk, 0] >= 0))[case]
+                for vtx in range(3):
+                    ca_tab = tet[_EDGES[e_clip[:, vtx], 0]]   # (16,) host
+                    cb_tab = tet[_EDGES[e_clip[:, vtx], 1]]
+                    ca = jnp.asarray(ca_tab, jnp.int32)[case]  # (M,)
+                    cb = jnp.asarray(cb_tab, jnp.int32)[case]
+                    va = corner_val(ca)
+                    vb = corner_val(cb)
+                    tt = (lvl - va) / (vb - va)
+                    # corner offsets from the id bits — no table gather
+                    az = ((ca >> 2) & 1).astype(jnp.float32)
+                    ay = ((ca >> 1) & 1).astype(jnp.float32)
+                    ax = (ca & 1).astype(jnp.float32)
+                    bz = ((cb >> 2) & 1).astype(jnp.float32)
+                    by = ((cb >> 1) & 1).astype(jnp.float32)
+                    bx = (cb & 1).astype(jnp.float32)
+                    planes_all[3 * vtx + 0].append(
+                        zf + az + tt * (bz - az))
+                    planes_all[3 * vtx + 1].append(
+                        yf + ay + tt * (by - ay))
+                    planes_all[3 * vtx + 2].append(
+                        xf + ax + tt * (bx - ax))
+                valid_all.append(ok)
+        planes = jnp.stack(
+            [jnp.concatenate(row) for row in planes_all])   # (9, 12·M)
+        valid = jnp.concatenate(valid_all)                  # (12·M,)
+        return planes, valid
+    return run(vol, active, level, m_pad)
+
+
+def _device_compact(planes, valid, n_pad: int):
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("n_pad",))
+    def run(p, ok, n_pad):
+        idx = jnp.nonzero(ok, size=n_pad, fill_value=0)[0]
+        return jnp.take(p, idx, axis=1)
+    return run(planes, valid, n_pad)
+
+
+def mesh_geometry_device(label_vol, level: float = 0.5,
+                         spacing=(1.0, 1.0, 1.0), step_size: int = 1,
+                         presmooth: int | None = None):
+    """Marching tetrahedra + triangle geometry + normal orientation as
+    one device pipeline — nothing but two scalar counts crosses the
+    host boundary (the 117 MB triangle pull dominated the device
+    extractor when the mesh came back to the host).
+
+    Returns ``(geo, n_tri)`` where ``geo`` is a dict of DEVICE arrays in
+    lane-major layout, padded to ``n_pad`` triangles with zero areas
+    (so integrals over the padded tail vanish): centroid planes
+    ``cz, cy, cx`` (voxel coords), oriented physical unit-normal planes
+    ``nzp, nyp, nxp``, and physical ``areas``. Semantics match
+    :func:`triangle_geometry` + :func:`orient_normals` (orientation
+    probes the raw label volume trilinearly at ±0.5 voxel)."""
+    import jax
+    import jax.numpy as jnp
+
+    vol = np.ascontiguousarray(label_vol, np.float32)
+    if step_size > 1:
+        vol = vol[::step_size, ::step_size, ::step_size]
+    if presmooth is None:
+        presmooth = 1 if np.unique(vol).size <= 2 else 0
+    nz, ny, nx = vol.shape
+    if min(nz, ny, nx) < 2:
+        return None, 0
+
+    raw_d = jnp.asarray(vol)
+    vol_d = _device_smooth(raw_d, presmooth)
+    active = _device_active(vol_d, jnp.float32(level))
+    m = int(jnp.sum(active))
+    if m == 0:
+        return None, 0
+    m_pad = _pad_quantum(m)
+    planes, valid = _device_march(vol_d, active, jnp.float32(level), m_pad)
+    n_tri = int(jnp.sum(valid))
+    if n_tri == 0:
+        return None, 0
+    n_pad = _pad_quantum(n_tri)
+    tris = _device_compact(planes, valid, n_pad)       # (9, n_pad)
+    geo = _device_geometry_orient(tris, raw_d,
+                                  jnp.asarray(spacing, jnp.float32),
+                                  jnp.int32(n_tri),
+                                  jnp.float32(step_size))
+    return geo, n_tri
+
+
+def _device_geometry_orient(tris, raw_vol, spacing_zyx, n_tri, scale):
+    """(9, N) vertex planes → lane-major centroids / oriented physical
+    normals / areas (areas zeroed beyond ``n_tri``). ``scale`` rescales
+    step_size-coarsened voxel coordinates back to the full lattice."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(tris, vol, sp, n_tri, scale):
+        v = [tris[i] for i in range(9)]                # 9 × (N,) z,y,x ×3
+        dz_, dy_, dx_ = sp[0], sp[1], sp[2]
+        # physical edge vectors (note planes are (z, y, x))
+        e1z, e1y, e1x = ((v[3] - v[0]) * dz_, (v[4] - v[1]) * dy_,
+                         (v[5] - v[2]) * dx_)
+        e2z, e2y, e2x = ((v[6] - v[0]) * dz_, (v[7] - v[1]) * dy_,
+                         (v[8] - v[2]) * dx_)
+        # 0.5 · e1 × e2 in (z, y, x) component order, matching
+        # triangle_geometry's np.cross on (z, y, x) triples
+        crz = 0.5 * (e1y * e2x - e1x * e2y)
+        cry = 0.5 * (e1x * e2z - e1z * e2x)
+        crx = 0.5 * (e1z * e2y - e1y * e2z)
+        area = jnp.sqrt(crz * crz + cry * cry + crx * crx)
+        inv = 1.0 / jnp.maximum(area, 1e-20)
+        nzp, nyp, nxp = crz * inv, cry * inv, crx * inv
+        cz = (v[0] + v[3] + v[6]) / 3.0
+        cy = (v[1] + v[4] + v[7]) / 3.0
+        cx = (v[2] + v[5] + v[8]) / 3.0
+
+        # orientation probe on the raw label volume (trilinear, ±0.5
+        # voxel along the voxel-space normal — orient_normals semantics)
+        nvz = nzp / dz_
+        nvy = nyp / dy_
+        nvx = nxp / dx_
+        nrm = 1.0 / jnp.maximum(
+            jnp.sqrt(nvz * nvz + nvy * nvy + nvx * nvx), 1e-20)
+        nvz, nvy, nvx = nvz * nrm, nvy * nrm, nvx * nrm
+        from jax.scipy.ndimage import map_coordinates as jmap
+        ahead = jmap(vol, [cz + 0.5 * nvz, cy + 0.5 * nvy,
+                           cx + 0.5 * nvx], order=1, mode="nearest")
+        behind = jmap(vol, [cz - 0.5 * nvz, cy - 0.5 * nvy,
+                            cx - 0.5 * nvx], order=1, mode="nearest")
+        sgn = jnp.where(ahead < behind, -1.0, 1.0)
+        nzp, nyp, nxp = nzp * sgn, nyp * sgn, nxp * sgn
+
+        lane = jnp.arange(tris.shape[1])
+        area = jnp.where(lane < n_tri, area, 0.0) * (scale * scale)
+        return {"cz": cz * scale, "cy": cy * scale, "cx": cx * scale,
+                "nzp": nzp, "nyp": nyp, "nxp": nxp, "areas": area}
+    return run(tris, raw_vol, spacing_zyx, n_tri, scale)
+
+
 def triangle_geometry(tri_verts: np.ndarray, spacing=(1.0, 1.0, 1.0)):
     """Centroids, physical areas, and unit normals of (n, 3, 3) triangles.
 

@@ -268,3 +268,68 @@ def test_trapped_blob_drag_direction():
     f_scale = tau_scale * dm["Area"]
     assert dm["Fx_v"] > 0, "water must drag the oil forward"
     assert 0.01 * f_scale < dm["Fx_v"] < 10 * f_scale
+
+
+def test_marching_tetrahedra_device_matches_host():
+    """The device extractor must produce the same triangle SET as the
+    host sweep (same Kuhn subdivision + case tables; only the emission
+    order differs)."""
+    from ptv_interpolation_tpu.surface import (
+        marching_tetrahedra, marching_tetrahedra_device)
+
+    rng = np.random.default_rng(4)
+    zz, yy, xx = np.mgrid[0:24, 0:24, 0:24]
+    vol = (((zz - 12.0) ** 2 + (yy - 11.0) ** 2 + (xx - 13.0) ** 2)
+           < 8.0 ** 2).astype(np.float64)
+    host = marching_tetrahedra(vol, level=0.5)
+    dev = marching_tetrahedra_device(vol, level=0.5)
+    assert dev.shape == host.shape
+    # set comparison at 3-decimal rounding: the device path interpolates
+    # crossings in f32 (TPU) vs the host's f64, so a razor-thin fraction
+    # of vertices rounds differently (22/6936 at this fixture)
+    hs = set(map(tuple, np.round(host.reshape(-1, 9), 3).tolist()))
+    ds = set(map(tuple, np.round(dev.reshape(-1, 9), 3).tolist()))
+    common = len(hs & ds)
+    assert common / len(hs) > 0.99, f"only {common}/{len(hs)} shared"
+    # and the total surface area must agree tightly (f32-rounding level)
+    from ptv_interpolation_tpu.surface import triangle_geometry
+    _, a_h, _ = triangle_geometry(host)
+    _, a_d, _ = triangle_geometry(dev)
+    np.testing.assert_allclose(a_d.sum(), a_h.sum(), rtol=1e-4)
+
+
+def test_mesh_geometry_device_matches_host_pipeline():
+    """Device mesh pipeline (extract + geometry + orient, lane-major)
+    vs the host trio on the same volume: total area, centroid cloud,
+    and oriented-normal flux must agree."""
+    from ptv_interpolation_tpu.surface import (
+        marching_tetrahedra, mesh_geometry_device, orient_normals,
+        triangle_geometry)
+
+    zz, yy, xx = np.mgrid[0:20, 0:22, 0:24]
+    vol = (((zz - 10.0) ** 2 + (yy - 11.0) ** 2 + (xx - 12.0) ** 2)
+           < 7.0 ** 2).astype(np.float64)
+    spacing = (1.5, 1.0, 0.5)
+
+    host_t = marching_tetrahedra(vol, level=0.5)
+    c_h, a_h, n_h = triangle_geometry(host_t, spacing=spacing)
+    n_h = orient_normals(n_h, c_h, vol, spacing=spacing)
+
+    geo, n_tri = mesh_geometry_device(vol, level=0.5, spacing=spacing)
+    assert n_tri == len(host_t)
+    a_d = np.asarray(geo["areas"])
+    assert np.isclose(a_d.sum(), a_h.sum(), rtol=1e-4)
+    # oriented normals: for a solid sphere the area-weighted normal flux
+    # through each axis ~0 and every normal points inward/outward
+    # consistently — compare the area-weighted first moments
+    for comp, nd in (("z", "nzp"), ("y", "nyp"), ("x", "nxp")):
+        i = "zyx".index(comp)
+        m_h = (n_h[:, i] * a_h).sum()
+        m_d = float((np.asarray(geo[nd]) * a_d).sum())
+        np.testing.assert_allclose(m_d, m_h, rtol=1e-3, atol=1e-3)
+    # centroid cloud centers agree (area-weighted)
+    for comp, cd in (("z", "cz"), ("y", "cy"), ("x", "cx")):
+        i = "zyx".index(comp)
+        m_h = (c_h[:, i] * a_h).sum() / a_h.sum()
+        m_d = float((np.asarray(geo[cd]) * a_d).sum() / a_d.sum())
+        np.testing.assert_allclose(m_d, m_h, rtol=1e-4)
