@@ -120,3 +120,46 @@ def test_fused_skip_mask_skips_repair():
     assert np.isfinite(got).all()
     # covered nodes interpolate the constant field exactly
     assert abs(got[:4, ..., 0].mean() - 1.0) < 1e-3
+
+
+def test_auto_backend_falls_back_on_clustered_cloud(monkeypatch):
+    """backend='auto' must degrade to the streaming path when the
+    compacted panel exceeds the VMEM budget (FusedCapacityError), and
+    backend='fused' must surface the error."""
+    import jax
+
+    from ptv_interpolation_tpu.ops import fused_grid_knn as fg
+    from ptv_interpolation_tpu.ops.grid_knn import grid_weighted_interpolate
+    from ptv_interpolation_tpu.interpolate.knn_weights import (
+        _sibson_panel_weights)
+
+    pts, vals, grid = _problem(n_pts=2000, n=16)
+    # the capacity guard itself
+    with pytest.raises(fg.FusedCapacityError):
+        fg.fused_grid_weighted_interpolate(pts, vals, grid, 8,
+                                           mode="sibson", max_panel=1)
+
+    # auto route: spoof a TPU backend, make the fused attempt refuse, and
+    # keep the repair stage off its (Pallas) TPU path — the call must
+    # degrade to the streaming kernel and still produce a finite field
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    def refuse(*a, **k):
+        raise fg.FusedCapacityError("forced")
+
+    monkeypatch.setattr(fg, "fused_grid_weighted_interpolate", refuse)
+    monkeypatch.setattr(fg, "fused_subset_weighted_sum",
+                        lambda *a, **k: None)
+    out = grid_weighted_interpolate(pts, vals, grid, 8,
+                                    _sibson_panel_weights(), mode="sibson")
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_fused_backend_rejects_custom_weight_fn():
+    from ptv_interpolation_tpu.ops.grid_knn import grid_weighted_interpolate
+
+    pts, vals, grid = _problem(n_pts=1000, n=12)
+    with pytest.raises(ValueError, match="custom weight_fn"):
+        grid_weighted_interpolate(pts, vals, grid, 8,
+                                  lambda d, m, s: 1.0 / (d + 1e-6),
+                                  mode="sibson", backend="fused")
