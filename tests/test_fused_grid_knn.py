@@ -163,3 +163,45 @@ def test_fused_backend_rejects_custom_weight_fn():
         grid_weighted_interpolate(pts, vals, grid, 8,
                                   lambda d, m, s: 1.0 / (d + 1e-6),
                                   mode="sibson", backend="fused")
+
+
+def test_fused_clustered_cloud_matches_oracle():
+    """Strongly clustered cloud (gaussian blobs + sparse background):
+    non-uniform density stresses the compaction capacity planning and
+    leaves void regions for the repair stage — the fused path must still
+    match the exact gather-based oracle."""
+    rng = np.random.default_rng(9)
+    n = 24
+    blobs = [rng.normal(loc=c, scale=1.5, size=(1200, 3))
+             for c in ((6, 6, 6), (18, 16, 8), (10, 18, 18))]
+    bg = rng.uniform(0, n, size=(300, 3))
+    pts = np.clip(np.concatenate(blobs + [bg]), 0, n).astype(np.float32)
+    vals = np.stack([
+        np.sin(pts[:, 0] * 0.4), np.cos(pts[:, 1] * 0.3),
+        1.0 + 0.05 * pts[:, 2]], axis=-1).astype(np.float32)
+    grid = create_grid(((0, n + 1), (0, n + 1), (0, n + 1)), n)
+
+    want = np.asarray(sibson_grid_interpolate(pts, vals, grid, k=10,
+                                              exact_topk=True,
+                                              block=(2, 4, 8)))
+    got = np.asarray(fused_grid_weighted_interpolate(
+        pts, vals, grid, k=10, mode="sibson", block=(2, 4, 8),
+        interpret=True))
+    assert np.isfinite(got).all()
+    # on a clustered cloud ~half the nodes sit in sparse regions where
+    # the ORACLE's fixed candidate region misses true neighbors (it has
+    # no repair stage); the fused path routes those through exact repair.
+    # Wherever the two disagree, brute force must side with FUSED.
+    close = np.isclose(got, want, rtol=1e-4, atol=1e-5).all(axis=-1)
+    bad = np.argwhere(~close)
+    rng2 = np.random.default_rng(1)
+    sub = (bad[rng2.choice(len(bad), 200, replace=False)]
+           if len(bad) > 200 else bad)
+    if len(sub):
+        from ptv_interpolation_tpu.interpolate.knn_weights import (
+            sibson_interpolate)
+        q = np.stack([grid.x[sub[:, 2]], grid.y[sub[:, 1]],
+                      grid.z[sub[:, 0]]], axis=-1).astype(np.float32)
+        truth = np.asarray(sibson_interpolate(pts, vals, q, k=10))
+        np.testing.assert_allclose(got[sub[:, 0], sub[:, 1], sub[:, 2]],
+                                   truth, rtol=1e-4, atol=1e-5)
