@@ -115,14 +115,29 @@ def packbits_decode(data: bytes) -> bytes:
     return bytes(out)
 
 
-def _decompress(raw: bytes, compression: int, path: str) -> bytes:
+def _decompress(raw: bytes, compression: int, path: str,
+                expected: int = 0) -> bytes:
+    """``expected``: decoded-size upper bound (the page byte count) — lets
+    the native decoders (native/fasttiff.cpp, memory-speed LZW/PackBits)
+    preallocate; 0 or a missing native library falls back to the Python
+    decoders."""
     if compression == 1:
         return raw
     if compression in (8, 32946):          # deflate / old-style deflate
         return zlib.decompress(raw)
     if compression == 5:
+        if expected:
+            from ptv_interpolation_tpu.io import fasttiff
+            out = fasttiff.lzw_decode(raw, expected)
+            if out is not None:
+                return out
         return lzw_decode(raw)
     if compression == 32773:
+        if expected:
+            from ptv_interpolation_tpu.io import fasttiff
+            out = fasttiff.packbits_decode(raw, expected)
+            if out is not None:
+                return out
         return packbits_decode(raw)
     raise IOError(f"{path}: compression {compression} not supported by the "
                   f"built-in codec (supported: none, LZW, deflate, PackBits)")
@@ -207,8 +222,11 @@ def read_tiff(path: str) -> np.ndarray:
 
         offsets = entries[_STRIPOFFSETS]
         counts = entries[_STRIPBYTECOUNTS]
-        # strips are compressed independently
-        raw = b"".join(_decompress(bytes(buf[o: o + c]), compression, path)
+        # strips are compressed independently; the page byte count bounds
+        # any one strip's decoded size (native-decoder preallocation)
+        page_bytes = height * ((width * bits + 7) // 8)
+        raw = b"".join(_decompress(bytes(buf[o: o + c]), compression, path,
+                                   expected=page_bytes)
                        for o, c in zip(offsets, counts))
 
         if bits == 1:

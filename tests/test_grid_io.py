@@ -405,3 +405,89 @@ def test_tiff_compressed_external_tool(tmp_path):
         p = str(tmp_path / f"{comp}.tif")
         PIL_Image.fromarray(page).save(p, compression=comp)
         np.testing.assert_array_equal(read_tiff(p), page)
+
+
+def _lzw_encode_tiff(data: bytes) -> bytes:
+    """Reference TIFF-LZW encoder (tests only): standard dictionary LZW
+    with the decoder's early-change width schedule — the decoder's table
+    lags the encoder by one emission, so ``code == len(table)`` (KwKwK)
+    streams are produced naturally on runs."""
+    out = bytearray()
+    bitbuf = 0
+    nbits = 0
+    width = 9
+
+    def emit(code):
+        nonlocal bitbuf, nbits
+        bitbuf = (bitbuf << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((bitbuf >> nbits) & 0xFF)
+
+    def fresh():
+        return {bytes([i]): i for i in range(256)}
+
+    emit(256)                       # CLEAR
+    table = fresh()
+    nxt = 258
+    sim_len = 258                   # decoder's table length
+    first = True
+    w = b""
+    for byte in data:
+        c = w + bytes([byte])
+        if c in table:
+            w = c
+            continue
+        emit(table[w])
+        if first:
+            first = False
+        else:
+            sim_len += 1
+        if sim_len + 1 >= (1 << width) and width < 12:
+            width += 1
+        table[c] = nxt
+        nxt += 1
+        if nxt >= 4000:             # re-prime well before 12-bit overflow
+            emit(256)
+            if not first:
+                sim_len += 1        # decoder appends on the code pre-CLEAR?
+            table = fresh()
+            nxt = 258
+            sim_len = 258
+            width = 9
+            first = True
+        w = bytes([byte])
+    if w:
+        emit(table[w])
+    emit(257)                       # EOI
+    if nbits:
+        out.append((bitbuf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def test_lzw_decoders_roundtrip_real_streams():
+    """Python and native LZW decoders on real dictionary streams (long
+    runs → KwKwK cases, width bumps through 10/11/12 bits, clear
+    resets)."""
+    from ptv_interpolation_tpu.io import fasttiff
+    from ptv_interpolation_tpu.io.tiff import lzw_decode
+
+    rng = np.random.default_rng(7)
+    # binary-mask-like data: long runs + noise patches; > 64 KB so the
+    # dictionary cycles through every width and several resets
+    parts = []
+    for _ in range(60):
+        parts.append(bytes([255]) * int(rng.integers(50, 2000)))
+        parts.append(bytes(rng.integers(0, 255, int(rng.integers(20, 300)),
+                                        dtype=np.uint8)))
+        parts.append(bytes([0]) * int(rng.integers(50, 2000)))
+    data = b"".join(parts)
+    enc = _lzw_encode_tiff(data)
+    assert len(enc) < len(data)     # actually compresses
+
+    py = lzw_decode(enc)
+    assert py == data
+    nat = fasttiff.lzw_decode(enc, len(data))
+    if nat is not None:             # native lib built in this checkout
+        assert nat == data
