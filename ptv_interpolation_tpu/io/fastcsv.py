@@ -36,6 +36,27 @@ def _load_lib():
     lib.ptv_csv_load.restype = ctypes.POINTER(_Result)
     lib.ptv_csv_free.argtypes = [ctypes.POINTER(_Result)]
     lib.ptv_csv_free.restype = None
+    # known-answer self-test before enabling: CDLL can succeed on a
+    # stale/foreign-ISA binary and only misbehave on first real parse
+    import tempfile
+    with tempfile.NamedTemporaryFile("w", suffix=".csv",
+                                     delete=False) as f:
+        f.write("x,y,z,u,v,w\n1,2,3,0.5,-0.5,1.5\n")
+        kat = f.name
+    try:
+        res = lib.ptv_csv_load(os.fsencode(kat))
+        try:
+            ok = bool(res.contents.ok) and res.contents.n_rows == 1
+            if ok:
+                row = np.ctypeslib.as_array(
+                    res.contents.data, shape=(1, 6))[0]
+                ok = np.allclose(row, [1, 2, 3, 0.5, -0.5, 1.5])
+        finally:
+            lib.ptv_csv_free(res)
+        if not ok:
+            raise OSError("libptvcsv failed known-answer self-test")
+    finally:
+        os.unlink(kat)
     _LIB = lib
     return lib
 

@@ -18,6 +18,16 @@ _LIB = None
 _FAILED = False
 
 
+# Known-answer vectors run once at load time: CDLL can succeed on a
+# library built for a different ISA (or a truncated/stale binary) and
+# only SIGILL/garble on first real use — validate before enabling.
+# LZW: Clear,'a','b','c',EOI at 9 bits MSB-first; PackBits: literal run
+# of 3 + repeat-X-three (both verified against the Python decoders).
+_KAT = (("ptv_lzw_decode", bytes([0x80, 0x18, 0x4C, 0x46, 0x38, 0x08]),
+         b"abc"),
+        ("ptv_packbits_decode", b"\x02abc\xfeX", b"abcXXX"))
+
+
 def _load_lib():
     global _LIB, _FAILED
     if _LIB is not None or _FAILED:
@@ -31,6 +41,15 @@ def _load_lib():
             fn.argtypes = [ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
                            ctypes.POINTER(ctypes.c_uint8), ctypes.c_long]
             fn.restype = ctypes.c_long
+        for name, src, want in _KAT:
+            buf = np.empty(len(want), np.uint8)
+            s = np.frombuffer(src, np.uint8)
+            n = getattr(lib, name)(
+                s.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(s),
+                buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                len(want))
+            if n != len(want) or buf.tobytes() != want:
+                raise OSError(f"{name} failed known-answer self-test")
         _LIB = lib
     except OSError:
         _FAILED = True

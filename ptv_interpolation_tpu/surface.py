@@ -220,7 +220,8 @@ def marching_tetrahedra_device(volume, level: float = 0.5,
     if m == 0:
         return np.zeros((0, 3, 3))
     m_pad = _pad_quantum(m)
-    planes, valid = _device_march(vol_d, active, jnp.float32(level), m_pad)
+    planes, valid = _device_march(vol_d, active, jnp.float32(level),
+                                  m_pad, m)
     n_tri = int(jnp.sum(valid))
     if n_tri == 0:
         return np.zeros((0, 3, 3))
@@ -278,11 +279,15 @@ def _device_active(vol, level):
     return run(vol, level)
 
 
-def _device_march(vol, active, level, m_pad: int):
+def _device_march(vol, active, level, m_pad: int, m):
     """Triangle candidate planes for the active cubes: returns
     ``(planes, valid)`` with ``planes`` (9, 12·m_pad) — rows are
     (vertex, coord) = (v0z, v0y, v0x, v1z, ...) — and ``valid``
-    (12·m_pad,). Padded cube slots point at cube 0 with validity False."""
+    (12·m_pad,). Padded cube slots point at cube 0, so every per-tet
+    validity vector is ANDed with ``lane < m`` (``m`` = true active
+    count, traced): without it, an active cube (0,0,0) would re-emit
+    its triangles once per padded lane and the drag integrals would
+    double-count."""
     import functools
 
     import jax
@@ -296,9 +301,10 @@ def _device_march(vol, active, level, m_pad: int):
     # than the host sweep it replaces)
 
     @functools.partial(jax.jit, static_argnames=("m_pad",))
-    def run(v, act, lvl, m_pad):
+    def run(v, act, lvl, m_pad, m):
         nz, ny, nx = v.shape
         flat = jnp.nonzero(act.ravel(), size=m_pad, fill_value=0)[0]
+        real = jnp.arange(m_pad) < m                    # padded-lane mask
         ncyx = (ny - 1) * (nx - 1)
         zi = flat // ncyx
         yi = (flat // (nx - 1)) % (ny - 1)
@@ -333,7 +339,7 @@ def _device_march(vol, active, level, m_pad: int):
                 # this vertex's edge endpoints (invalid cases → corner 0)
                 e_clip = np.clip(_TRI_TABLE[:, kk, :], 0, 5)  # (16, 3)
                 ok = jnp.asarray(
-                    (_TRI_TABLE[:, kk, 0] >= 0))[case]
+                    (_TRI_TABLE[:, kk, 0] >= 0))[case] & real
                 for vtx in range(3):
                     ca_tab = tet[_EDGES[e_clip[:, vtx], 0]]   # (16,) host
                     cb_tab = tet[_EDGES[e_clip[:, vtx], 1]]
@@ -360,7 +366,7 @@ def _device_march(vol, active, level, m_pad: int):
             [jnp.concatenate(row) for row in planes_all])   # (9, 12·M)
         valid = jnp.concatenate(valid_all)                  # (12·M,)
         return planes, valid
-    return run(vol, active, level, m_pad)
+    return run(vol, active, level, m_pad, jnp.int32(m))
 
 
 def _device_compact(planes, valid, n_pad: int):
@@ -410,7 +416,8 @@ def mesh_geometry_device(label_vol, level: float = 0.5,
     if m == 0:
         return None, 0
     m_pad = _pad_quantum(m)
-    planes, valid = _device_march(vol_d, active, jnp.float32(level), m_pad)
+    planes, valid = _device_march(vol_d, active, jnp.float32(level),
+                                  m_pad, m)
     n_tri = int(jnp.sum(valid))
     if n_tri == 0:
         return None, 0

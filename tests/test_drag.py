@@ -298,6 +298,36 @@ def test_marching_tetrahedra_device_matches_host():
     np.testing.assert_allclose(a_d.sum(), a_h.sum(), rtol=1e-4)
 
 
+def test_marching_tetrahedra_device_corner_cube_not_duplicated():
+    """Regression: padded cube slots in the device extractor point at
+    cube 0 (``jnp.nonzero`` fill_value=0). If cube (0,0,0) itself has a
+    level crossing, every padded lane used to re-emit cube 0's triangles
+    as valid, double-counting area and drag integrals. Validity must be
+    masked with ``lane < m``."""
+    from ptv_interpolation_tpu.surface import (
+        marching_tetrahedra, marching_tetrahedra_device,
+        mesh_geometry_device, triangle_geometry)
+
+    # a blob overlapping the (0,0,0) corner so cube 0 is active; small
+    # volume so the active count is far below the pow2 pad (lots of
+    # padded lanes aliasing cube 0)
+    zz, yy, xx = np.mgrid[0:8, 0:8, 0:8]
+    vol = ((zz + yy + xx) < 6.5).astype(np.float64)
+    host = marching_tetrahedra(vol, level=0.5)
+    dev = marching_tetrahedra_device(vol, level=0.5)
+    assert dev.shape == host.shape, (
+        f"device emitted {dev.shape[0]} triangles vs host "
+        f"{host.shape[0]} — padded cube-0 lanes leaked")
+    _, a_h, _ = triangle_geometry(host)
+    _, a_d, _ = triangle_geometry(dev)
+    np.testing.assert_allclose(a_d.sum(), a_h.sum(), rtol=1e-4)
+
+    geo, n_tri = mesh_geometry_device(vol, level=0.5)
+    assert n_tri == len(host)
+    np.testing.assert_allclose(
+        float(np.asarray(geo["areas"]).sum()), a_h.sum(), rtol=1e-4)
+
+
 def test_mesh_geometry_device_matches_host_pipeline():
     """Device mesh pipeline (extract + geometry + orient, lane-major)
     vs the host trio on the same volume: total area, centroid cloud,
