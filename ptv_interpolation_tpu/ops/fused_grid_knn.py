@@ -519,6 +519,154 @@ def fused_subset_weighted_sum(cells, values_sorted, axes, margin: float,
     return out[:len(ids_np), :, :V + 1]
 
 
+# ---------------------------------------------------------------------------
+# Single-dispatch device repair
+# ---------------------------------------------------------------------------
+
+_NBLK_MAX = 4096
+
+
+@functools.partial(jax.jit, static_argnames=("block", "dims", "nblk_max"))
+def _repair_survey(den, skip, block, dims, nblk_max: int):
+    """One device program for everything the repair driver must know before
+    it can launch: ``[n_fix, n_bad, bad_block_ids...]`` as one (2+nblk_max,)
+    int32 vector (ids padded with -1). One D2H pull replaces the legacy
+    ladder's scalar-sum sync + nonzero + 14k-index pull
+    (`tools/profile_setup_repair.py`: 0.23 s of the 0.65 s repair wall)."""
+    den_eff = den if skip is None else jnp.where(skip, 1.0, den)
+    bad = den_eff == 0.0
+    n_fix = jnp.sum(bad, dtype=jnp.int32)
+    bz, by, bx = block
+    nbz, nby, nbx = dims
+    nz, ny, nx = den.shape
+    badp = jnp.pad(bad, ((0, nbz * bz - nz), (0, nby * by - ny),
+                         (0, nbx * bx - nx)))
+    blk_bad = badp.reshape(nbz, bz, nby, by, nbx, bx).any(axis=(1, 3, 5))
+    n_bad = jnp.sum(blk_bad, dtype=jnp.int32)
+    ids = jnp.nonzero(blk_bad.ravel(), size=nblk_max,
+                      fill_value=-1)[0].astype(jnp.int32)
+    return jnp.concatenate([jnp.stack([n_fix, n_bad]), ids])
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "block", "dims", "sz", "k", "V", "C", "mode", "power", "grid_shape",
+    "mc", "group", "interpret"))
+def _fused_repair_apply(field, den, skip, cells, values_sorted, axes2,
+                        margin2, ids_dev, n_bad, block, dims, sz, k: int,
+                        V: int, C: int, mode: str, power: float, grid_shape,
+                        mc, group: int = 8, interpret: bool = False):
+    """The whole repair stage as ONE traced program: widened-margin panel
+    gather + fused Pallas eval + row pick + certification + scatter into
+    the field. Returns (field', den', n_repaired). The legacy ladder this
+    replaces made ~6 host round-trips (eager picked-row gather ~0.9 s and
+    eager scatter ~0.8 s at the 1M→256³ bench on a cold-shape day)."""
+    bz, by, bx = block
+    nbz, nby, nbx = dims
+    nz, ny, nx = grid_shape
+    NBLK = ids_dev.shape[0]
+    n_sub = bz // sz
+    B = bz * by * bx
+    den_eff = den if skip is None else jnp.where(skip, 1.0, den)
+
+    pts8_t = _build_pts8_t(cells.points_sorted, values_sorted)
+    G = _compact_indices(cells, axes2, margin2, block, grid_shape, mc, C,
+                         ids=ids_dev, group=group)
+    cand = _panel_take(pts8_t, G)
+    m2 = (margin2 * margin2).reshape(1, 1).astype(jnp.float32)
+    qx, qy, qz = _build_queries(axes2, block, dims, sz, ids=ids_dev)
+    sub = _fused_eval(m2, cand, qx, qy, qz, block, dims, sz, k, V, C,
+                      mode, power, interpret=interpret)
+    # (NBLK, n_sub, 8, Bt) → (NBLK, B, 8) rows in local (tz, ty, tx) order
+    rows = sub.reshape(NBLK, n_sub, 8, sz, by * bx)
+    rows = rows.transpose(0, 1, 3, 4, 2).reshape(NBLK, B, 8)
+    vals_new = rows[..., :V]
+    den2 = rows[..., V]
+
+    ibz = ids_dev // (nby * nbx)
+    iby = (ids_dev // nbx) % nby
+    ibx = ids_dev % nbx
+    tz = jnp.arange(bz, dtype=jnp.int32)
+    ty = jnp.arange(by, dtype=jnp.int32)
+    tx = jnp.arange(bx, dtype=jnp.int32)
+    iz = (ibz[:, None, None, None] * bz + tz[None, :, None, None])
+    iy = (iby[:, None, None, None] * by + ty[None, None, :, None])
+    ix = (ibx[:, None, None, None] * bx + tx[None, None, None, :])
+    in_grid = (iz < nz) & (iy < ny) & (ix < nx)
+    flat = ((iz * ny + iy) * nx + ix).reshape(NBLK, B)
+    in_grid = in_grid.reshape(NBLK, B)
+    lane_ok = (jnp.arange(NBLK, dtype=jnp.int32) < n_bad)[:, None]
+
+    n_total = nz * ny * nx
+    flat_safe = jnp.clip(flat, 0, n_total - 1)
+    den_at = den_eff.reshape(-1)[flat_safe]
+    valid = lane_ok & in_grid & (den_at == 0.0) & (den2 > 0.0)
+    # invalid rows (incl. padded lanes, which alias real blocks) are routed
+    # out of range and dropped — surviving writes hit unique nodes
+    idx = jnp.where(valid, flat, n_total).reshape(-1)
+    field2 = field.reshape(-1, V).at[idx].set(
+        vals_new.reshape(-1, V), mode="drop")
+    den_out = den_eff.reshape(-1).at[idx].set(1.0, mode="drop")
+    n_rep = jnp.sum(valid, dtype=jnp.int32)
+    return (field2.reshape(grid_shape + (V,)), den_out.reshape(grid_shape),
+            n_rep)
+
+
+def fused_repair(field, den, skip_mask, cells, values_sorted, grid, k: int,
+                 mode: str, power: float, block: Tuple[int, int, int],
+                 margin: float, max_panel: int = 8192, group: int = 8,
+                 interpret: bool = False):
+    """Single-dispatch repair driver for the fused TPU path. Returns
+    ``(field', den', n_left)`` — ``n_left`` nodes remain uncovered at the
+    widened margin (``den'`` marks the repaired ones nonzero so the caller
+    can brute-force only the rest) — or ``None`` when the fast path is
+    ineligible (too many uncovered blocks for the panel budget, or a
+    void-dominated cloud where per-block certification would fail anyway).
+    Exactly two device syncs: the survey pull and the n_repaired pull —
+    the panel eval, certification, and scatter live in one program."""
+    nz, ny, nx = grid.shape
+    bz, by, bx = block
+    dims = (_block_counts(nz, bz), _block_counts(ny, by),
+            _block_counts(nx, bx))
+    skip = None if skip_mask is None else jnp.asarray(skip_mask, bool)
+    survey = np.asarray(_repair_survey(den, skip, block, dims, _NBLK_MAX))
+    n_fix, n_bad = int(survey[0]), int(survey[1])
+    if n_fix == 0:
+        return field, den, 0
+    B = bz * by * bx
+    if n_bad > _NBLK_MAX or n_bad * B > max(32 * n_fix, 64 * B):
+        return None
+    ids_np = survey[2:2 + n_bad].astype(np.int64)
+
+    from ptv_interpolation_tpu.ops.grid_knn import _pad_axis
+    cell_size = 1.0 / float(np.asarray(cells.inv_cell)[0])
+    margin2 = 1.6 * float(margin)
+    dx, dy, dz = grid.spacing
+    mc2 = tuple(int(math.ceil((ext + 2.0 * margin2) / cell_size)) + 1
+                for ext in (bx * dx, by * dy, bz * dz))[::-1]
+    axes2 = (_pad_axis(grid.x, bx), _pad_axis(grid.y, by),
+             _pad_axis(grid.z, bz))
+    axes2_np = tuple(np.asarray(a) for a in axes2)
+    C_raw = _block_total_capacity(cells, axes2_np, margin2, block, grid.shape,
+                                  mc2, ids=ids_np)
+    C = max((C_raw + 127) // 128 * 128, 128)
+    if C > max_panel:
+        return None
+
+    NBLK = 1 << max(n_bad - 1, 31).bit_length()
+    ids_pad = np.concatenate(
+        [ids_np, np.broadcast_to(ids_np[-1:], (NBLK - n_bad,))])
+    ids_dev = jnp.asarray(ids_pad, jnp.int32)
+    V = field.shape[-1]
+    sz = _pick_sz(bz, by, bx)
+    field2, den_out, n_rep = _fused_repair_apply(
+        field, den, skip, cells, values_sorted, axes2, jnp.float32(margin2),
+        ids_dev, jnp.asarray(n_bad, jnp.int32), tuple(block), dims, sz,
+        int(k), V, C, mode, float(power), grid.shape, mc2, group,
+        interpret=interpret)
+    n_left = n_fix - int(n_rep)
+    return field2, den_out, n_left
+
+
 @functools.partial(jax.jit, static_argnames=("block", "dims", "sz",
                                              "grid_shape"))
 def _reassemble(out, block, dims, sz, grid_shape):

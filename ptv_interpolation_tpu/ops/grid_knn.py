@@ -535,6 +535,25 @@ def repair_empty_nodes(out, den, points, values, grid: Grid, k: int,
     from repair. On porous geometries the solid interior is exactly where
     coverage fails (no particles live there), so without this ~25% of a
     256³ grid would be repaired only to be discarded."""
+    if (cells is not None and margin is not None and block is not None
+            and values_sorted is not None
+            and jax.default_backend() == "tpu"):
+        # single-dispatch device repair: survey pull → one traced program
+        # (widened-margin panel + certification + scatter) → n_rep pull.
+        # Replaces the host-mediated ladder below (~0.65 s → ~0.15 s at the
+        # 1M→256³ bench); ineligible/void-dominated clouds fall through.
+        from ptv_interpolation_tpu.ops.fused_grid_knn import fused_repair
+        res = fused_repair(out, den, skip_mask, cells, values_sorted, grid,
+                           k, mode, power, tuple(block), float(margin))
+        if res is not None:
+            out, den2, n_left = res
+            if n_left == 0:
+                return out
+            # rare tail: genuine far-field voids the widened margin cannot
+            # certify — recurse into the exact brute-force ladder with the
+            # repaired nodes already marked served in den2
+            return repair_empty_nodes(out, den2, points, values, grid, k,
+                                      mode, power, skip_mask=skip_mask)
     den_zero = den == 0.0                       # stays on device
     if skip_mask is not None:
         den_zero = den_zero & ~jnp.asarray(skip_mask, bool)
@@ -853,11 +872,13 @@ def _host_setup(points, values, grid: Grid, k: int, cells, cell_size, block,
         r_k = (3.0 * k / (4.0 * math.pi * density)) ** (1.0 / 3.0)
         if cell_size is None:
             cell_size = max(r_k * margin_factor / cell_divisor, 1e-6)
-        cells = build_cell_list(pts, cell_size=cell_size, build_table=False)
+        cells = build_cell_list(pts, cell_size=cell_size, build_table=False,
+                                bounds=(lo, hi))
     else:
         cell_size = 1.0 / float(np.asarray(cells.inv_cell)[0])
         lo = np.asarray(cells.origin)
-        extent = np.maximum(pts.max(axis=0) - lo, 1e-12)
+        hi = pts.max(axis=0)
+        extent = np.maximum(hi - lo, 1e-12)
         density = n / float(np.prod(extent))
         r_k = (3.0 * k / (4.0 * math.pi * density)) ** (1.0 / 3.0)
 
@@ -880,7 +901,8 @@ def _host_setup(points, values, grid: Grid, k: int, cells, cell_size, block,
         cell_size = cell_size * shrink
         if cell_size < 1e-9:
             break
-        cells = build_cell_list(pts, cell_size=cell_size, build_table=False)
+        cells = build_cell_list(pts, cell_size=cell_size, build_table=False,
+                                bounds=(lo, hi))
         mc = region_dims(cell_size)
         row_len = _row_capacity(cells, mc[2])
     if row_len > 1024:

@@ -263,10 +263,41 @@ def _device_sort_points(pts_dev, cell_id_dev, pad: int = 1024):
     return order, points_sorted
 
 
+@functools.partial(jax.jit, static_argnames=("dims", "pad"))
+def _device_csr_build(pts_dev, lo, inv, dims, pad: int = 1024):
+    """Whole CSR build on device: cell ids, stable sort, sentinel-padded
+    sorted points, and the ``starts`` offsets. Replaces the remaining host
+    half of the keys-only build (cell-index quantization + ``np.sort`` +
+    ``searchsorted`` were 0.3–1.2 s of 1-core host wall per call at 1M
+    points — the noisiest fixed cost of the fused headline path). Bitwise
+    parity with the numpy path: the quantization runs the same f32 ops in
+    the same order, and both sorts are stable on the same keys.
+
+    ``lo``/``inv`` are (3,) f32 device scalars; ``dims`` static (ncx, ncy,
+    ncz). Returns (order i32, points_sorted f32 (n+pad, 3), starts i32
+    (n_cells+1,))."""
+    ncx, ncy, ncz = dims
+    dmax = jnp.asarray([ncx - 1, ncy - 1, ncz - 1], jnp.int32)
+    cidx = jnp.clip(((pts_dev - lo) * inv).astype(jnp.int32), 0, dmax)
+    cell_id = (cidx[:, 2] * ncy + cidx[:, 1]) * ncx + cidx[:, 0]
+    n = pts_dev.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    sorted_cells, order = jax.lax.sort([cell_id, iota], is_stable=True,
+                                       num_keys=1)
+    points_sorted = jnp.concatenate(
+        [pts_dev[order], jnp.full((pad, 3), 1e19, jnp.float32)])
+    n_cells = ncx * ncy * ncz
+    starts = jnp.searchsorted(
+        sorted_cells, jnp.arange(n_cells + 1, dtype=jnp.int32),
+        side="left").astype(jnp.int32)
+    return order, points_sorted, starts
+
+
 def build_cell_list(points, cell_size: float | None = None, k_hint: int = 32,
                     cap: int | None = None, max_cells: int = 2 ** 22,
                     build_table: bool = True,
-                    device: bool | None = None) -> CellList:
+                    device: bool | None = None,
+                    bounds=None) -> CellList:
     """Bucket ``points`` into a cell list (host-driven: capacity and grid
     dims become static shapes for the query kernel).
 
@@ -279,18 +310,23 @@ def build_cell_list(points, cell_size: float | None = None, k_hint: int = 32,
         kernels and the CSR repair path only use the CSR layout; skipping
         the table saves its host build plus ~28 MB of device transfer at
         1M points.
-    device : run the permutation (stable argsort + point gather) on the
-        accelerator instead of numpy. Default: on for CSR-only builds of
-        ≥100k points. Host keeps the cheap scalar planning work (``starts``
-        via ``np.sort`` + ``searchsorted`` on the host-computed cell ids,
-        so capacities never need a device→host pull) and the result is
-        permutation-identical to the numpy path (both sorts are stable on
-        the same keys).
+    device : run the whole CSR build (quantization, stable sort, point
+        gather, ``starts``) on the accelerator instead of numpy. Default:
+        on for CSR-only builds of ≥100k points. The only device→host pull
+        is the (n_cells+1,) ``starts`` array the capacity planning needs;
+        the result is permutation-identical to the numpy path (same f32
+        quantization, both sorts stable on the same keys).
+    bounds : optional precomputed ``(lo, hi)`` point-cloud bounds (callers
+        that already reduced them skip the 1M-row host min/max here).
     """
     pts = np.asarray(points, np.float32)
     n = pts.shape[0]
-    lo = pts.min(axis=0)
-    hi = pts.max(axis=0)
+    if bounds is not None:
+        lo = np.asarray(bounds[0], np.float32)
+        hi = np.asarray(bounds[1], np.float32)
+    else:
+        lo = pts.min(axis=0)
+        hi = pts.max(axis=0)
     if cell_size is None:
         cell_size = auto_cell_size(n, lo, hi, k_hint)
     extent = np.maximum(hi - lo, 1e-12)
@@ -303,33 +339,29 @@ def build_cell_list(points, cell_size: float | None = None, k_hint: int = 32,
     n_cells = ncx * ncy * ncz
 
     inv = 1.0 / cell_size
-    cidx = np.clip(((pts - lo) * inv).astype(np.int64), 0, dims - 1)
-    cell_id = (cidx[:, 2] * ncy + cidx[:, 1]) * ncx + cidx[:, 0]
 
     if device is None:
         device = (not build_table) and n >= 100_000
 
     if device:
-        # starts/capacities from a keys-only host sort (~20 ms at 1M —
-        # np.sort on int keys is ~50× cheaper than argsort + 2 fancy
-        # gathers); the expensive permutation runs on the accelerator
-        sorted_cells = np.sort(cell_id, kind="stable")
-        counts64 = np.diff(
-            np.searchsorted(sorted_cells, np.arange(n_cells + 1)))
-        observed_cap = int(counts64.max()) if n else 1
+        # the whole build runs on the accelerator (quantization + stable
+        # sort + gather + starts); host work is scalar planning only. One
+        # D2H pull: ``starts`` (a few MB), which the capacity planning
+        # reads immediately anyway.
+        d_pts = jnp.asarray(pts)
+        order, points_sorted, starts_dev = _device_csr_build(
+            d_pts, jnp.asarray(lo, jnp.float32),
+            jnp.float32(inv), (ncx, ncy, ncz))
+        starts = np.asarray(starts_dev)
+        observed_cap = int(np.diff(starts.astype(np.int64)).max()) if n else 1
         if cap is None:
             cap = observed_cap
-        starts = np.zeros(n_cells + 1, np.int32)
-        np.cumsum(counts64, out=counts64)
-        starts[1:] = counts64.astype(np.int32)
-        order, points_sorted = _device_sort_points(
-            jnp.asarray(pts), jnp.asarray(cell_id.astype(np.int32)))
         return CellList(
             table=jnp.asarray(np.full((1, 1), n, np.int32)),
             points_padded=jnp.asarray(np.full((1, 3), 1e19, np.float32)),
             origin=jnp.asarray(lo, jnp.float32),
             inv_cell=jnp.asarray(np.full(3, inv, np.float32)),
-            starts=jnp.asarray(starts),
+            starts=starts_dev,
             order=order,
             points_sorted=points_sorted,
             dims=(ncx, ncy, ncz),
@@ -338,6 +370,8 @@ def build_cell_list(points, cell_size: float | None = None, k_hint: int = 32,
             starts_host=starts,
         )
 
+    cidx = np.clip(((pts - lo) * inv).astype(np.int64), 0, dims - 1)
+    cell_id = (cidx[:, 2] * ncy + cidx[:, 1]) * ncx + cidx[:, 0]
     order = np.argsort(cell_id, kind="stable").astype(np.int32)
     sorted_cells = cell_id[order]
     first = np.searchsorted(sorted_cells, sorted_cells, side="left")

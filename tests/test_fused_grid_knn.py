@@ -150,6 +150,7 @@ def test_auto_backend_falls_back_on_clustered_cloud(monkeypatch):
     monkeypatch.setattr(fg, "fused_grid_weighted_interpolate", refuse)
     monkeypatch.setattr(fg, "fused_subset_weighted_sum",
                         lambda *a, **k: None)
+    monkeypatch.setattr(fg, "fused_repair", lambda *a, **k: None)
     out = grid_weighted_interpolate(pts, vals, grid, 8,
                                     _sibson_panel_weights(), mode="sibson")
     assert np.isfinite(np.asarray(out)).all()
@@ -205,3 +206,60 @@ def test_fused_clustered_cloud_matches_oracle():
         truth = np.asarray(sibson_interpolate(pts, vals, q, k=10))
         np.testing.assert_allclose(got[sub[:, 0], sub[:, 1], sub[:, 2]],
                                    truth, rtol=1e-4, atol=1e-5)
+
+
+def test_single_dispatch_repair_matches_legacy_ladder():
+    """The single-dispatch device repair (fused_grid_knn.fused_repair) must
+    produce the same repaired field as the legacy host-mediated ladder
+    (grid_knn.repair_empty_nodes) — same certification (widened-margin
+    coverage sentinel), same values on certified nodes, and the same
+    brute-force tail population."""
+    import jax.numpy as jnp
+
+    from ptv_interpolation_tpu.ops import grid_knn as gk
+    from ptv_interpolation_tpu.ops.fused_grid_knn import (
+        _block_total_capacity, _build_queries, _compact_gather,
+        _fused_eval, _pick_sz, _reassemble, fused_repair)
+
+    rng = np.random.default_rng(21)
+    n = 24
+    # cloud confined to a corner slab → coverage fails near the far faces
+    pts = rng.uniform([0, 0, 0], [n, n, 9], size=(2500, 3)).astype(np.float32)
+    vals = np.stack([np.sin(pts[:, 0] * 0.3), np.cos(pts[:, 1] * 0.2),
+                     1.0 + 0.02 * pts[:, 2]], axis=-1).astype(np.float32)
+    grid = create_grid(((0, n + 1), (0, n + 1), (0, n + 1)), n)
+    k, block = 10, (2, 4, 8)
+
+    setup = gk._host_setup(pts, vals, grid, k, None, None, block, 1.45,
+                           cell_divisor=3.0)
+    (cells, values_sorted, axes, margin, mc, _row_len, values_dev) = setup
+    axes_np = tuple(np.asarray(a) for a in axes)
+    C = max((_block_total_capacity(cells, axes_np, margin, block, grid.shape,
+                                   mc) + 127) // 128 * 128, 128)
+    dims = tuple((s + b - 1) // b for s, b in zip(grid.shape, block))
+    sz = _pick_sz(*block)
+    cand = _compact_gather(cells, values_sorted, axes, jnp.float32(margin),
+                           block, grid.shape, mc, C, 8)
+    m2 = jnp.asarray([[margin * margin]], jnp.float32)
+    qx, qy, qz = _build_queries(axes, block, dims, sz)
+    out = _fused_eval(m2, cand, qx, qy, qz, block, dims, sz, k,
+                      vals.shape[1], C, "sibson", 2.0, interpret=True)
+    out = _reassemble(out, block, dims, sz, grid.shape)
+    field, den = out[..., :3], out[..., 3]
+    n_uncovered = int((np.asarray(den) == 0).sum())
+    assert n_uncovered > 50, "fixture must exercise repair"
+
+    legacy = np.asarray(gk.repair_empty_nodes(
+        field, den, pts, values_dev, grid, k, "sibson", 2.0, cells=cells,
+        margin=margin, values_sorted=values_sorted, block=block))
+
+    res = fused_repair(field, den, None, cells, values_sorted, grid, k,
+                       "sibson", 2.0, block, float(margin), interpret=True)
+    assert res is not None
+    fast, den2, n_left = res
+    fast = np.asarray(fast)
+    if n_left:
+        fast = np.asarray(gk.repair_empty_nodes(
+            jnp.asarray(fast), den2, pts, values_dev, grid, k, "sibson", 2.0))
+    assert np.isfinite(fast).all()
+    np.testing.assert_allclose(fast, legacy, rtol=1e-5, atol=1e-6)
