@@ -346,6 +346,30 @@ def _fused_eval(m2, cand, qx_all, qy_all, qz_all, block, dims, sz, k, V, C,
 # Host driver
 # ---------------------------------------------------------------------------
 
+@functools.partial(jax.jit, static_argnames=("dims_c", "mcz", "mcy"))
+def _block_tot_device(starts, x0, x1, base_y, base_z, dims_c,
+                      mcz: int, mcy: int):
+    """Device form of the per-block candidate-total table: same integral-
+    image math as the numpy branch below, run where ``starts`` lives.
+    Returns (nbz, nby, nbx) i32 totals (callers pull the ~64 KB table once
+    instead of the full multi-MB ``starts``)."""
+    ncx, ncy, ncz = dims_c
+    counts = jnp.diff(starts).reshape(ncz * ncy, ncx)
+    csum = jnp.concatenate(
+        [jnp.zeros((ncz * ncy, 1), jnp.int32), jnp.cumsum(counts, axis=1)],
+        axis=1)
+    W = (jnp.take(csum, x1, axis=1) - jnp.take(csum, x0, axis=1))
+    nbx = x0.shape[0]
+    W = W.reshape(ncz, ncy, nbx)
+    Wp = jnp.pad(W, ((mcz, mcz), (mcy, mcy), (0, 0)))
+    cz_idx = jnp.clip(base_z[:, None] + jnp.arange(mcz)[None, :] + mcz,
+                      0, ncz + 2 * mcz - 1)
+    cy_idx = jnp.clip(base_y[:, None] + jnp.arange(mcy)[None, :] + mcy,
+                      0, ncy + 2 * mcy - 1)
+    T1 = Wp[cz_idx].sum(axis=1)                      # (nbz, ncy+2mcy, nbx)
+    return T1[:, cy_idx, :].sum(axis=2)              # (nbz, nby, nbx)
+
+
 def _block_total_capacity(cells, axes_np, margin: float,
                           block: Tuple[int, int, int],
                           grid_shape: Tuple[int, int, int],
@@ -363,8 +387,9 @@ def _block_total_capacity(cells, axes_np, margin: float,
     mcz, mcy, mcx = mc
     ncx, ncy, ncz = cells.dims
     x_ax, y_ax, z_ax = axes_np
-    origin = np.asarray(cells.origin, np.float32)
-    inv = np.float32(np.asarray(cells.inv_cell)[0])
+    from ptv_interpolation_tpu.ops.neighbors import cell_meta_np
+    origin, inv = cell_meta_np(cells)
+    inv = np.float32(inv)
     # the window base MUST be computed in f32 with the device kernel's
     # exact op order ((lo - margin) - origin) * inv: in f64 the floor can
     # land one cell off when the product sits within an f32 ulp of an
@@ -372,20 +397,33 @@ def _block_total_capacity(cells, axes_np, margin: float,
     # the coverage sentinel would never flag
     m32 = np.float32(margin)
 
-    starts_np = (cells.starts_host if cells.starts_host is not None
-                 else np.asarray(cells.starts)).astype(np.int64)
-    counts = np.diff(starts_np).reshape(ncz * ncy, ncx)
-    csum = np.concatenate([np.zeros((ncz * ncy, 1), np.int64),
-                           np.cumsum(counts, axis=1)], axis=1)
-
-    base_x = np.floor(((x_ax[np.arange(nbx) * bx].astype(np.float32) - m32)
+    base_x = np.floor(((np.asarray(x_ax)[np.arange(nbx) * bx]
+                        .astype(np.float32) - m32)
                        - origin[0]) * inv).astype(np.int64)
-    base_y = np.floor(((y_ax[np.arange(nby) * by].astype(np.float32) - m32)
+    base_y = np.floor(((np.asarray(y_ax)[np.arange(nby) * by]
+                        .astype(np.float32) - m32)
                        - origin[1]) * inv).astype(np.int64)
-    base_z = np.floor(((z_ax[np.arange(nbz) * bz].astype(np.float32) - m32)
+    base_z = np.floor(((np.asarray(z_ax)[np.arange(nbz) * bz]
+                        .astype(np.float32) - m32)
                        - origin[2]) * inv).astype(np.int64)
     x0 = np.clip(base_x, 0, ncx)
     x1 = np.clip(base_x + mcx, 0, ncx)
+
+    if cells.starts_host is None:
+        # device CSR build: integral image on device, pull the ~64 KB
+        # per-block table (the full starts pull was ~0.17 s at 750k cells)
+        tot = np.asarray(_block_tot_device(
+            cells.starts, jnp.asarray(x0, jnp.int32),
+            jnp.asarray(x1, jnp.int32), jnp.asarray(base_y, jnp.int32),
+            jnp.asarray(base_z, jnp.int32), cells.dims, mcz, mcy))
+        if ids is not None:
+            tot = tot.reshape(-1)[np.asarray(ids, np.int64)]
+        return int(tot.max()) if tot.size else 1
+
+    starts_np = cells.starts_host.astype(np.int64)
+    counts = np.diff(starts_np).reshape(ncz * ncy, ncx)
+    csum = np.concatenate([np.zeros((ncz * ncy, 1), np.int64),
+                           np.cumsum(counts, axis=1)], axis=1)
 
     W = (csum[:, x1] - csum[:, x0]).reshape(ncz, ncy, nbx)
     Wp = np.zeros((ncz + 2 * mcz, ncy + 2 * mcy, nbx), np.int64)
@@ -638,7 +676,8 @@ def fused_repair(field, den, skip_mask, cells, values_sorted, grid, k: int,
     ids_np = survey[2:2 + n_bad].astype(np.int64)
 
     from ptv_interpolation_tpu.ops.grid_knn import _pad_axis
-    cell_size = 1.0 / float(np.asarray(cells.inv_cell)[0])
+    from ptv_interpolation_tpu.ops.neighbors import cell_meta_np
+    cell_size = 1.0 / cell_meta_np(cells)[1]
     margin2 = 1.6 * float(margin)
     dx, dy, dz = grid.spacing
     mc2 = tuple(int(math.ceil((ext + 2.0 * margin2) / cell_size)) + 1

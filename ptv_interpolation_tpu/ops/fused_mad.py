@@ -227,8 +227,9 @@ def _lattice_capacity(cells, q_lo, edge, dims, uniq, margin, mc):
     ``fused_grid_knn._block_total_capacity``)."""
     mcz, mcy, mcx = mc
     ncx, ncy, ncz = cells.dims
-    origin = np.asarray(cells.origin, np.float32)
-    inv = np.float32(np.asarray(cells.inv_cell)[0])
+    from ptv_interpolation_tpu.ops.neighbors import cell_meta_np
+    origin, inv = cell_meta_np(cells)
+    inv = np.float32(inv)
     m32 = np.float32(margin)
     starts_np = (cells.starts_host if cells.starts_host is not None
                  else np.asarray(cells.starts)).astype(np.int64)

@@ -39,7 +39,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ptv_interpolation_tpu.grid import Grid
-from ptv_interpolation_tpu.ops.neighbors import CellList, build_cell_list
+from ptv_interpolation_tpu.ops.neighbors import (CellList, build_cell_list,
+                                                 cell_meta_np)
 
 _BIG = jnp.float32(3.4e38)
 
@@ -53,15 +54,20 @@ def _pad_axis(ax, b: int):
     continues the grid spacing; out-of-range query results are sliced
     away after reassembly). Shared by the main kernel's host setup and
     the repair subset evaluator — the two MUST agree so repair blocks
-    see the same query coordinates as the main pass."""
+    see the same query coordinates as the main pass.
+
+    Returns HOST numpy: every consumer is a jitted function (tiny H2D
+    enqueue per call), while the host capacity planners read the values
+    directly — returning a device array here cost one blocking D2H pull
+    of tunnel latency per ``np.asarray(axis)`` in the fused driver."""
     ax = np.asarray(ax, np.float32)
     n_ax = len(ax)
     target = _block_counts(n_ax, b) * b
     if target == n_ax:
-        return jnp.asarray(ax)
+        return ax
     step = ax[1] - ax[0] if n_ax > 1 else 1.0
     extra = ax[-1] + step * np.arange(1, target - n_ax + 1)
-    return jnp.asarray(np.concatenate([ax, extra]), jnp.float32)
+    return np.concatenate([ax, extra]).astype(np.float32)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -584,7 +590,7 @@ def repair_empty_nodes(out, den, points, values, grid: Grid, k: int,
                          _block_counts(nxs, bx))
         blk = ((iz // bz) * nby + (iy // by)) * nbx + (ix // bx)
         uniq, inv = np.unique(blk, return_inverse=True)
-        cell_size = 1.0 / float(np.asarray(cells.inv_cell)[0])
+        cell_size = 1.0 / cell_meta_np(cells)[1]
         margin2 = 1.6 * float(margin)
         dx, dy, dz = grid.spacing
         mc2 = tuple(
@@ -632,7 +638,7 @@ def repair_empty_nodes(out, den, points, values, grid: Grid, k: int,
 
     if (not ran_subset and cells is not None and margin is not None
             and len(todo)):
-        cell_size = 1.0 / float(np.asarray(cells.inv_cell)[0])
+        cell_size = 1.0 / cell_meta_np(cells)[1]
         # corners need ~2× the bulk k-th radius (octant geometry);
         # margin = 1.45·r_k, so 1.6·margin ≈ 2.3·r_k covers it with slack
         rings = int(math.ceil(1.6 * float(margin) / cell_size))
@@ -822,17 +828,35 @@ class RowCapacityError(ValueError):
     callers should route through the generic kNN path."""
 
 
+@functools.partial(jax.jit, static_argnames=("dims", "w"))
+def _row_capacity_device(starts, dims, w: int):
+    """Device form of :func:`_row_capacity` — runs where ``starts`` lives
+    (device-side CSR builds keep no host copy) and returns one i32 scalar."""
+    ncx, ncy, ncz = dims
+    counts = jnp.diff(starts).reshape(ncz * ncy, ncx)
+    csum = jnp.concatenate(
+        [jnp.zeros((ncz * ncy, 1), jnp.int32), jnp.cumsum(counts, axis=1)],
+        axis=1)
+    windows = csum[:, w:] - csum[:, :-w] if ncx > w else csum[:, -1:]
+    return jnp.maximum(jnp.max(windows), 1)
+
+
 def _row_capacity(cells: CellList, mcx: int) -> int:
     """Static row capacity: max points in any ``mcx``-wide x-run of cells —
     the guaranteed-coverage bound shared by the grid and scatter kernels
     (must stay within the 1024-column sentinel padding of the sorted
     arrays; callers refine the cell size or fall back when it doesn't)."""
     ncx, ncy, ncz = cells.dims
+    if cells.starts_host is None:
+        # device CSR build: windowed max on device, pull one scalar (the
+        # full starts pull this avoids was ~0.17 s of tunnel wall at 750k
+        # cells)
+        return int(np.asarray(_row_capacity_device(
+            cells.starts, cells.dims, min(mcx, ncx))))
     # prefer the host-side copy: np.asarray on the device array forces a
     # blocking drain of the async transfer queue (~2 s of tunnel wall right
     # after build_cell_list pushed ~30 MB at 1M points)
-    starts_np = (cells.starts_host if cells.starts_host is not None
-                 else np.asarray(cells.starts))
+    starts_np = cells.starts_host
     row_counts = np.diff(starts_np.astype(np.int64)).reshape(ncz * ncy, ncx)
     w = min(mcx, ncx)
     csum = np.concatenate([np.zeros((row_counts.shape[0], 1), np.int64),
@@ -875,8 +899,8 @@ def _host_setup(points, values, grid: Grid, k: int, cells, cell_size, block,
         cells = build_cell_list(pts, cell_size=cell_size, build_table=False,
                                 bounds=(lo, hi))
     else:
-        cell_size = 1.0 / float(np.asarray(cells.inv_cell)[0])
-        lo = np.asarray(cells.origin)
+        lo, inv_c = cell_meta_np(cells)
+        cell_size = 1.0 / inv_c
         hi = pts.max(axis=0)
         extent = np.maximum(hi - lo, 1e-12)
         density = n / float(np.prod(extent))

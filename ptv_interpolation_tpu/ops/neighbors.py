@@ -220,8 +220,16 @@ class CellList:
     # host-side copy of `starts` (numpy) — lets the grid kernels compute
     # row capacities without a device→host round trip that would drain the
     # async transfer queue (the sync cost was ~2 s of tunnel wall at 1M
-    # points). Not part of the pytree; absent after unflatten.
+    # points). Not part of the pytree; absent after unflatten. Device-side
+    # CSR builds leave it None (capacity planning then runs on device and
+    # pulls scalars only).
     starts_host: object = None
+    # host copies of origin/1-per-axis inv_cell: every `np.asarray` on the
+    # device copies is a blocking D2H pull of tunnel latency (~0.1-0.2 s
+    # each on a fresh array) that the capacity planners would otherwise
+    # pay per call. Not part of the pytree.
+    origin_host: object = None
+    inv_host: object = None
 
     def tree_flatten(self):
         return ((self.table, self.points_padded, self.origin, self.inv_cell,
@@ -248,19 +256,6 @@ def auto_cell_size(n_points: int, bounds_lo, bounds_hi, k: int,
     density = max(n_points, 1) / volume
     r_k = (3.0 * k / (4.0 * math.pi * density)) ** (1.0 / 3.0)
     return float(r_k * safety)
-
-
-@functools.partial(jax.jit, static_argnames=("pad",))
-def _device_sort_points(pts_dev, cell_id_dev, pad: int = 1024):
-    """Device half of the CSR build: stable argsort by cell id + the
-    sentinel-padded sorted point array. The 1M-point ``np.argsort`` +
-    fancy-index this replaces was ~1.1 s of host wall per call (the
-    single largest fixed cost of the fused headline path); on-device the
-    sort + gather is ~10 ms."""
-    order = jnp.argsort(cell_id_dev, stable=True).astype(jnp.int32)
-    points_sorted = jnp.concatenate(
-        [pts_dev[order], jnp.full((pad, 3), 1e19, jnp.float32)])
-    return order, points_sorted
 
 
 @functools.partial(jax.jit, static_argnames=("dims", "pad"))
@@ -290,7 +285,8 @@ def _device_csr_build(pts_dev, lo, inv, dims, pad: int = 1024):
     starts = jnp.searchsorted(
         sorted_cells, jnp.arange(n_cells + 1, dtype=jnp.int32),
         side="left").astype(jnp.int32)
-    return order, points_sorted, starts
+    obs_cap = jnp.max(jnp.diff(starts)) if n_cells else jnp.int32(1)
+    return order, points_sorted, starts, obs_cap
 
 
 def build_cell_list(points, cell_size: float | None = None, k_hint: int = 32,
@@ -346,16 +342,16 @@ def build_cell_list(points, cell_size: float | None = None, k_hint: int = 32,
     if device:
         # the whole build runs on the accelerator (quantization + stable
         # sort + gather + starts); host work is scalar planning only. One
-        # D2H pull: ``starts`` (a few MB), which the capacity planning
-        # reads immediately anyway.
+        # D2H pull: the observed per-cell capacity scalar (the full
+        # ``starts`` pull it replaces was ~0.17 s of tunnel wall at 1M
+        # points / 750k cells; capacity planning now runs on device too —
+        # see grid_knn._row_capacity / fused_grid_knn._block_total_capacity)
         d_pts = jnp.asarray(pts)
-        order, points_sorted, starts_dev = _device_csr_build(
+        order, points_sorted, starts_dev, obs_cap = _device_csr_build(
             d_pts, jnp.asarray(lo, jnp.float32),
             jnp.float32(inv), (ncx, ncy, ncz))
-        starts = np.asarray(starts_dev)
-        observed_cap = int(np.diff(starts.astype(np.int64)).max()) if n else 1
         if cap is None:
-            cap = observed_cap
+            cap = int(np.asarray(obs_cap)) if n else 1
         return CellList(
             table=jnp.asarray(np.full((1, 1), n, np.int32)),
             points_padded=jnp.asarray(np.full((1, 3), 1e19, np.float32)),
@@ -367,7 +363,9 @@ def build_cell_list(points, cell_size: float | None = None, k_hint: int = 32,
             dims=(ncx, ncy, ncz),
             cap=int(cap),
             n_pts=int(n),
-            starts_host=starts,
+            starts_host=None,
+            origin_host=np.asarray(lo, np.float32),
+            inv_host=float(inv),
         )
 
     cidx = np.clip(((pts - lo) * inv).astype(np.int64), 0, dims - 1)
@@ -415,7 +413,19 @@ def build_cell_list(points, cell_size: float | None = None, k_hint: int = 32,
         cap=int(cap),
         n_pts=int(n),
         starts_host=starts,
+        origin_host=np.asarray(lo, np.float32),
+        inv_host=float(inv),
     )
+
+
+def cell_meta_np(cells: CellList):
+    """(origin, inv) as host values, preferring the host copies stashed at
+    build time — `np.asarray` on the device copies is a blocking D2H pull
+    of tunnel latency per call."""
+    if cells.inv_host is not None:
+        return np.asarray(cells.origin_host, np.float32), float(cells.inv_host)
+    origin = np.asarray(cells.origin, np.float32)
+    return origin, float(np.asarray(cells.inv_cell)[0])
 
 
 def celllist_tile_fn(cells: CellList, k: int, rings: int = 1,
