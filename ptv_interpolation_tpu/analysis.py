@@ -52,6 +52,63 @@ def compute_viscous_dissipation(strain_rate, viscosity, dx=1.0, dy=1.0,
     return _maybe_mask(viscosity * strain_rate ** 2, mask)
 
 
+@functools.partial(jax.jit, static_argnames=("want_strain", "want_diss",
+                                              "want_vort", "want_xi"))
+def compute_derivative_fields(u, v, w, dx, dy, dz, viscosity, mask=None,
+                              want_strain: bool = True,
+                              want_diss: bool = True,
+                              want_vort: bool = True,
+                              want_xi: bool = False):
+    """All first-derivative analysis fields in ONE traced program.
+
+    Fuses strain rate (`velocity_analysis.py:10-63`), viscous dissipation
+    (`velocity_analysis.py:65-92`), vorticity magnitude
+    (`velocity_analysis.py:94-120`) and the Astarita flow type
+    (`velocity_analysis.py:151-188`): the nine velocity gradients are
+    computed once and shared, everything stays device-resident, and the
+    caller pays a single dispatch + D2H round trip instead of one per
+    stage (each hop re-uploaded a 67 MB field at 256³ — the round-3
+    "4 s elementwise dissipation" anomaly). Individual fields remain
+    available via :func:`compute_strain_rate` etc.; results here are
+    bit-identical (same op order, same masking).
+
+    Returns a dict with the requested keys among
+    ``{"strain_rate", "dissipation", "vorticity", "xi"}``.
+    """
+    du_dz, du_dy, du_dx = gradient(u, dx, dy, dz)
+    dv_dz, dv_dy, dv_dx = gradient(v, dx, dy, dz)
+    dw_dz, dw_dy, dw_dx = gradient(w, dx, dy, dz)
+
+    out = {}
+    gamma = None
+    if want_strain or want_diss or want_xi:
+        e_xx = 2 * du_dx
+        e_yy = 2 * dv_dy
+        e_zz = 2 * dw_dz
+        e_xy = du_dy + dv_dx
+        e_xz = du_dz + dw_dx
+        e_yz = dv_dz + dw_dy
+        gamma = jnp.sqrt(0.5 * (e_xx ** 2 + e_yy ** 2 + e_zz ** 2)
+                         + e_xy ** 2 + e_xz ** 2 + e_yz ** 2)
+        gamma = _maybe_mask(gamma, mask)
+        if want_strain:
+            out["strain_rate"] = gamma
+    if want_diss:
+        out["dissipation"] = _maybe_mask(viscosity * gamma ** 2, mask)
+    vort = None
+    if want_vort or want_xi:
+        vort_x = dw_dy - dv_dz
+        vort_y = du_dz - dw_dx
+        vort_z = dv_dx - du_dy
+        vort = _maybe_mask(
+            jnp.sqrt(vort_x ** 2 + vort_y ** 2 + vort_z ** 2), mask)
+        if want_vort:
+            out["vorticity"] = vort
+    if want_xi:
+        out["xi"] = compute_astarita_flow_type(gamma, vort, mask)
+    return out
+
+
 @jax.jit
 def compute_vorticity(u, v, w, dx, dy, dz, mask=None):
     """|∇×u| (`velocity_analysis.py:94-120`)."""

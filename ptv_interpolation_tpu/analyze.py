@@ -17,17 +17,27 @@ from typing import Optional, Sequence
 import numpy as np
 
 from ptv_interpolation_tpu.analysis import (
-    compute_astarita_flow_type,
+    compute_derivative_fields,
     compute_permeability,
     compute_permeability_from_pressure,
     compute_pressure_field,
-    compute_strain_rate,
-    compute_viscous_dissipation,
-    compute_vorticity,
 )
 from ptv_interpolation_tpu.drag import compute_interface_drag
 from ptv_interpolation_tpu.io import load_velocity_field
 from ptv_interpolation_tpu.io.tiff import read_tiff, write_tiff
+
+
+def _async_pull(arrays):
+    """Start non-blocking device→host copies. Later ``np.asarray`` calls on
+    these arrays find the bytes already (or still) streaming — on tunneled
+    backends a 67 MB field pull is seconds, so queueing the copies before
+    the solver stages hides them behind device compute. Backends without
+    the PJRT async-copy hook just skip (the later pull blocks as usual)."""
+    for a in arrays:
+        try:
+            a.copy_to_host_async()
+        except AttributeError:
+            return
 
 
 @dataclasses.dataclass
@@ -136,7 +146,8 @@ def run_analysis(config: AnalyzeConfig, field=None, timings=None):
     wj = jnp.asarray(w, jnp.float32)
     mj = None if mask is None else jnp.asarray(mask)
 
-    speed = np.sqrt(u ** 2 + v ** 2 + w ** 2)
+    scaled = config.voxel_size != 1.0 or config.dt != 1.0
+    speed = np.sqrt(u ** 2 + v ** 2 + w ** 2) if scaled else speed_raw
     valid = speed[mask] if mask is not None else speed
     log("\n--- Flow Field Statistics (Physical SI Units) ---")
     log("  Velocity Magnitude (um/s):")
@@ -159,11 +170,96 @@ def run_analysis(config: AnalyzeConfig, field=None, timings=None):
 
     results = {}
 
-    strain_rate = None
-    if config.strain_rate or config.dissipation:
+    # One traced program for every first-derivative field (strain,
+    # dissipation, vorticity): the nine gradients are computed once and
+    # the device is hit with a single dispatch — per-stage dispatch
+    # re-uploaded the 67 MB strain field and paid a blocking round trip
+    # per field (the round-3 "4 s elementwise dissipation" anomaly).
+    # Dissipation (μγ̇²) and ξ ((γ̇−|ω|)/(γ̇+|ω|)) are derived on the HOST
+    # from the pulled strain/vorticity — bit-identical f32 elementwise
+    # math — so only two fields cross the device→host boundary instead
+    # of four (each 67 MB pull is seconds on a tunneled backend).
+    want_strain = config.strain_rate or config.dissipation
+    want_xi = config.flow_type and want_strain
+    deriv_dev = {}
+    deriv = {}
+    if want_strain or config.vorticity or want_xi:
+        with timings.stage("derivatives"):
+            deriv_dev = compute_derivative_fields(
+                uj, vj, wj, dx, dy, dz, config.viscosity, mj,
+                want_strain=want_strain,
+                # device dissipation only feeds the k_diss reduction
+                want_diss=config.permeability_dissipation and config.dissipation,
+                want_vort=config.vorticity or want_xi, want_xi=False)
+
+    # Dispatch the solver stages BEFORE queueing the bulk field pulls:
+    # their small data-dependent scalar syncs (flow-direction mean, mesh
+    # active-cube counts) must not queue behind ~130 MB of D2H traffic,
+    # and their device compute then overlaps the field transfers. Log
+    # lines for each section are appended in the reference order below,
+    # so the stats file is unchanged.
+    pressure_dev = None
+    if config.pressure:
+        with timings.stage("pressure"):
+            pressure_dev = compute_pressure_field(
+                uj, vj, wj, dx, dy, dz, config.viscosity, config.rho, mj,
+                wall_bc=config.pressure_wall_bc, anchor=config.pressure_anchor,
+                flow_direction=config.flow_direction, verbose=config.verbose)
+
+    drag_finish = None
+    drag_results = None
+    background_mask = None
+    if config.drag:
+        # DELIBERATE reference-parity quirk (`analyze_flow.py:426`): the
+        # pipeline labels the FLUID phase (mask=True → label 1) even though
+        # the drag integrators document 0=fluid. Mesh drag then integrates
+        # the force ON the fluid (resistive, physically meaningful), while
+        # staircase viscous terms read hard-zeroed solid-side velocities.
+        # Pass --drag-labels with a solid-labeled mask volume to integrate
+        # grain forces instead, exactly as the reference's validation does.
+        drag_mask = mask.astype(int) if mask is not None \
+            else np.zeros_like(u, dtype=int)
+        total_volume = nz * dz * ny * dy * nx * dx
+        if config.pore_mask and os.path.exists(config.pore_mask):
+            log(f"Loading background pore mask from {config.pore_mask}...")
+            background_mask = read_tiff(config.pore_mask)
+            if background_mask.shape != u.shape:
+                log(f"  Warning: Pore mask shape {background_mask.shape} does "
+                    f"not match velocity field {u.shape}. Skipping classification.")
+                background_mask = None
+            else:
+                background_mask = background_mask > 0
+        with timings.stage("drag"):
+            drag_finish = compute_interface_drag(
+                uj, vj, wj, pressure_dev, config.viscosity, dx, dy, dz,
+                drag_mask, labels=config.drag_labels,
+                method=config.drag_method, mesh_step=config.drag_mesh_step,
+                volume=total_volume, background_mask=background_mask,
+                defer=True)
+
+    # Everything is dispatched; stream the field results home while the
+    # CG/traction programs run on device.
+    pull_names = [nm for nm in ("strain_rate", "vorticity") if nm in deriv_dev]
+    with timings.stage("collect"):
+        import jax
+        _async_pull([deriv_dev[nm] for nm in pull_names]
+                    + ([pressure_dev] if pressure_dev is not None else []))
+        deriv = {nm: arr for nm, arr in zip(
+            pull_names, jax.device_get([deriv_dev[nm] for nm in pull_names]))}
+        if want_xi:
+            sr32, vm32 = deriv["strain_rate"], deriv["vorticity"]
+            num = sr32 - vm32
+            den = sr32 + vm32
+            safe = np.where(den > np.float32(1e-15), den, np.float32(1.0))
+            deriv["xi"] = np.where(den > np.float32(1e-15), num / safe,
+                                   np.float32(0.0))
+        if config.dissipation:
+            deriv["dissipation"] = (np.float32(config.viscosity)
+                                    * deriv["strain_rate"] ** 2)
+
+    strain_rate = deriv.get("strain_rate") if deriv_dev else None
+    if strain_rate is not None:
         log("\n=== Computing Strain Rate ===")
-        with timings.stage("strain_rate"):
-            strain_rate = np.asarray(compute_strain_rate(uj, vj, wj, dx, dy, dz, mj))
         results["strain_rate"] = strain_rate
         log(f"  Mean: {(strain_rate[mask] if mask is not None else strain_rate).mean():.4e} 1/s")
         log(f"  Max:  {strain_rate.max():.4e} 1/s")
@@ -175,9 +271,7 @@ def run_analysis(config: AnalyzeConfig, field=None, timings=None):
     dissipation = None
     if config.dissipation:
         log("\n=== Computing Viscous Dissipation ===")
-        with timings.stage("dissipation"):
-            dissipation = np.asarray(compute_viscous_dissipation(
-                strain_rate, config.viscosity, dx, dy, dz, mask))
+        dissipation = deriv["dissipation"]
         results["dissipation"] = dissipation
         results["viscosity"] = config.viscosity
         vd = dissipation[mask] if mask is not None else dissipation
@@ -192,8 +286,7 @@ def run_analysis(config: AnalyzeConfig, field=None, timings=None):
     vorticity_magnitude = None
     if config.vorticity:
         log("\n=== Computing Vorticity ===")
-        with timings.stage("vorticity"):
-            vorticity_magnitude = np.asarray(compute_vorticity(uj, vj, wj, dx, dy, dz, mj))
+        vorticity_magnitude = deriv["vorticity"]
         results["vorticity_magnitude"] = vorticity_magnitude
         log(f"  Mean: {(vorticity_magnitude[mask] if mask is not None else vorticity_magnitude).mean():.4e} 1/s")
         if config.save_tiffs:
@@ -205,11 +298,8 @@ def run_analysis(config: AnalyzeConfig, field=None, timings=None):
     pressure = None
     if config.pressure:
         log("\n=== Recovering Pressure Field ===")
-        with timings.stage("pressure"):
-            pressure = np.asarray(compute_pressure_field(
-                uj, vj, wj, dx, dy, dz, config.viscosity, config.rho, mj,
-                wall_bc=config.pressure_wall_bc, anchor=config.pressure_anchor,
-                flow_direction=config.flow_direction, verbose=config.verbose))
+        with timings.stage("collect"):
+            pressure = np.asarray(pressure_dev)
         results["pressure"] = pressure
         vp = pressure[mask] if mask is not None else pressure
         log(f"  Pressure Range: [{vp.min():.4e}, {vp.max():.4e}] Pa")
@@ -236,54 +326,29 @@ def run_analysis(config: AnalyzeConfig, field=None, timings=None):
         k_diss = None
         if config.permeability_dissipation and dissipation is not None:
             k_diss = float(compute_permeability(
-                uj, vj, wj, dissipation, config.viscosity, dx, dy, dz, mj))
+                uj, vj, wj, deriv_dev["dissipation"], config.viscosity,
+                dx, dy, dz, mj))
             results["permeability_dissipation"] = k_diss
             log(f"  From Energy Dissipation (k_diss): {k_diss:.6e} m²")
         if config.permeability_pressure and pressure is not None:
             k_press = float(compute_permeability_from_pressure(
-                uj, vj, wj, pressure, config.viscosity, dx, dy, dz))
+                uj, vj, wj, pressure_dev, config.viscosity, dx, dy, dz))
             results["permeability_pressure"] = k_press
             log(f"  From Pressure Gradient (k_press):  {k_press:.6e} m²")
             if k_diss:
                 log(f"  Ratio (k_press/k_diss): {k_press / k_diss:.4f}")
 
-    if config.flow_type and strain_rate is not None:
-        vm = vorticity_magnitude if vorticity_magnitude is not None else \
-            np.asarray(compute_vorticity(u, v, w, dx, dy, dz, mask))
+    if want_xi and "xi" in deriv:
         log("\nComputing Astarita flow type classification...")
-        xi = np.asarray(compute_astarita_flow_type(strain_rate, vm, mask))
+        xi = deriv["xi"]
         results["flow_type"] = xi
         vx = xi[mask] if mask is not None else xi
         log(f"  Mean ξ: {vx.mean():.4e}")
 
     if config.drag:
         log("\n=== Computing Interface Drag Force ===")
-        # DELIBERATE reference-parity quirk (`analyze_flow.py:426`): the
-        # pipeline labels the FLUID phase (mask=True → label 1) even though
-        # the drag integrators document 0=fluid. Mesh drag then integrates
-        # the force ON the fluid (resistive, physically meaningful), while
-        # staircase viscous terms read hard-zeroed solid-side velocities.
-        # Pass --drag-labels with a solid-labeled mask volume to integrate
-        # grain forces instead, exactly as the reference's validation does.
-        drag_mask = mask.astype(int) if mask is not None \
-            else np.zeros_like(u, dtype=int)
-        total_volume = nz * dz * ny * dy * nx * dx
-        background_mask = None
-        if config.pore_mask and os.path.exists(config.pore_mask):
-            log(f"Loading background pore mask from {config.pore_mask}...")
-            background_mask = read_tiff(config.pore_mask)
-            if background_mask.shape != u.shape:
-                log(f"  Warning: Pore mask shape {background_mask.shape} does "
-                    f"not match velocity field {u.shape}. Skipping classification.")
-                background_mask = None
-            else:
-                background_mask = background_mask > 0
         with timings.stage("drag"):
-            drag_results = compute_interface_drag(
-                uj, vj, wj, pressure, config.viscosity, dx, dy, dz, drag_mask,
-                labels=config.drag_labels, method=config.drag_method,
-                mesh_step=config.drag_mesh_step, volume=total_volume,
-                background_mask=background_mask)
+            drag_results = drag_finish()
         results["drag"] = drag_results
         if not drag_results:
             log("  No interfaces found or labels not present.")

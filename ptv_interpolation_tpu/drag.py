@@ -276,9 +276,16 @@ def _mesh_tractions_t(u, v, w, p, bg, cz, cy, cx, nzp, nyp, nxp, areas,
 
 def compute_interface_drag_mesh(u, v, w, pressure, viscosity, dx, dy, dz,
                                 mask, labels=None, mesh_step: int = 1,
-                                volume=None, background_mask=None):
+                                volume=None, background_mask=None,
+                                defer: bool = False):
     """Mesh drag via marching tetrahedra + offset-velocity stress recovery
-    (`velocity_analysis.py:513-657`)."""
+    (`velocity_analysis.py:513-657`).
+
+    ``defer=True`` returns a zero-arg finisher instead of the results:
+    all device work is dispatched (and the mesh-extraction shape syncs
+    paid), but the final force-scalar ``device_get`` waits until the
+    finisher is called — callers overlap the traction/CG device compute
+    with their own bulk host transfers."""
     mask = np.asarray(mask)
     if labels is None:
         labels = np.unique(mask)
@@ -293,7 +300,7 @@ def compute_interface_drag_mesh(u, v, w, pressure, viscosity, dx, dy, dz,
     bg = (jnp.asarray(np.asarray(background_mask), jnp.float32) if has_bg
           else jnp.zeros(u.shape, jnp.float32))
 
-    results = {}
+    pending = {}
     for label in labels:
         label_vol = (mask == label).astype(np.float64)
         if not label_vol.any():
@@ -331,30 +338,44 @@ def compute_interface_drag_mesh(u, v, w, pressure, viscosity, dx, dy, dz,
                 jnp.asarray(tri_areas, jnp.float32),
                 jnp.asarray([dz, dy, dx], jnp.float32),
                 jnp.float32(viscosity), jnp.asarray(has_bg))
-        # one batched device_get: per-scalar float() pulls are ~40 separate
-        # host round-trips (seconds over a tunneled backend)
-        out_np = jax.device_get(out)
-        r = {k: float(val) for k, val in out_np.items()}
-        for cname in "xyz":
-            r[f"F{cname}"] = r[f"F{cname}_v"] + r[f"F{cname}_p"]
-        if volume:
+        pending[int(label)] = out
+
+    def finish():
+        results = {}
+        for label, out in pending.items():
+            # one batched device_get: per-scalar float() pulls are ~40
+            # separate host round-trips (seconds over a tunneled backend)
+            out_np = jax.device_get(out)
+            r = {k: float(val) for k, val in out_np.items()}
             for cname in "xyz":
-                r[f"M{cname}"] = r[f"F{cname}"] / volume
-        results[int(label)] = r
-    return results
+                r[f"F{cname}"] = r[f"F{cname}_v"] + r[f"F{cname}_p"]
+            if volume:
+                for cname in "xyz":
+                    r[f"M{cname}"] = r[f"F{cname}"] / volume
+            results[label] = r
+        return results
+
+    return finish if defer else finish()
 
 
 def compute_interface_drag(u, v, w, pressure, viscosity, dx, dy, dz, mask,
                            labels=None, method: str = "staircase",
                            mesh_step: int = 1, volume=None,
-                           background_mask=None):
+                           background_mask=None, defer: bool = False):
     """Dispatcher matching the reference signature
-    (`velocity_analysis.py:332-344`)."""
+    (`velocity_analysis.py:332-344`). ``defer`` — see
+    :func:`compute_interface_drag_mesh`; the staircase path computes
+    eagerly and wraps its result."""
     if method == "mesh":
         return compute_interface_drag_mesh(
             u, v, w, pressure, viscosity, dx, dy, dz, mask, labels,
             mesh_step=mesh_step, volume=volume,
-            background_mask=background_mask)
+            background_mask=background_mask, defer=defer)
+    if defer:
+        res = compute_interface_drag_staircase(
+            u, v, w, pressure, viscosity, dx, dy, dz, mask, labels,
+            volume=volume)
+        return lambda: res
     return compute_interface_drag_staircase(
         u, v, w, pressure, viscosity, dx, dy, dz, mask, labels,
         volume=volume)

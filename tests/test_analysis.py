@@ -138,3 +138,34 @@ def test_darcy_permeability_consistency(poiseuille_pipe):
     # k = -mu * mean(w) * grad_p / grad_p^2
     k_exp = -mu * pp["w"].mean() / grad_p
     assert np.allclose(k, k_exp, rtol=1e-2)
+
+
+def test_fused_derivative_fields_match_individual():
+    """compute_derivative_fields (the one-dispatch analysis program) is
+    bit-identical to the individual stage functions it fuses."""
+    from ptv_interpolation_tpu.analysis import compute_derivative_fields
+    rng = np.random.RandomState(7)
+    n = 24
+    u, v, w = (rng.randn(n, n, n).astype(np.float32) for _ in range(3))
+    mask = rng.rand(n, n, n) > 0.3
+    d = 0.7
+    mu = 1e-3
+
+    fused = compute_derivative_fields(u, v, w, d, d, d, mu, mask,
+                                      want_strain=True, want_diss=True,
+                                      want_vort=True, want_xi=True)
+    sr = np.asarray(compute_strain_rate(u, v, w, d, d, d, mask))
+    diss = np.asarray(compute_viscous_dissipation(sr, mu, d, d, d, mask))
+    vm = np.asarray(compute_vorticity(u, v, w, d, d, d, mask))
+    xi = np.asarray(compute_astarita_flow_type(sr, vm, mask))
+
+    np.testing.assert_array_equal(np.asarray(fused["strain_rate"]), sr)
+    np.testing.assert_array_equal(np.asarray(fused["dissipation"]), diss)
+    np.testing.assert_array_equal(np.asarray(fused["vorticity"]), vm)
+    np.testing.assert_array_equal(np.asarray(fused["xi"]), xi)
+
+    # partial selections compile and return exactly the requested keys
+    only_vort = compute_derivative_fields(u, v, w, d, d, d, mu, mask,
+                                          want_strain=False, want_diss=False,
+                                          want_vort=True, want_xi=False)
+    assert set(only_vort) == {"vorticity"}
