@@ -58,12 +58,15 @@ def load_checkpoint(path: str, shardings=None) -> FieldResult:
     else:
         import jax
         meta = ckptr.metadata(path)
+        # StepMetadata (orbax >= 0.11) carries the array tree under
+        # item_metadata.tree; older releases returned the tree directly.
+        tree_meta = getattr(getattr(meta, "item_metadata", meta), "tree", meta)
         targets = jax.tree_util.tree_map(
             lambda m: jax.ShapeDtypeStruct(
                 m.shape, m.dtype,
                 sharding=shardings.get("field") if m.shape and len(m.shape) == 3
                 else None) if hasattr(m, "shape") else m,
-            dict(meta))
+            dict(tree_meta))
         tree = ckptr.restore(path, targets)
     return FieldResult(
         x=np.asarray(tree["x"]), y=np.asarray(tree["y"]),
