@@ -14,10 +14,69 @@ O(Q) hot part) runs vectorized on device.
 from __future__ import annotations
 
 import functools
+import hashlib
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# One-slot in-memory triangulation cache. Qhull dominates the `linear`
+# wall (42.7 s of 50.5 s at 1M pts, `tools/measure_linear.py`) and the
+# pipeline/scenario runs re-interpolate the SAME point cloud (per
+# component, per run), so the triangulation is keyed by a content hash of
+# the point array and rebuilt only when the cloud actually changes. One
+# slot only: a 1M-point triangulation holds ~750 MB of simplices +
+# transform blocks. Set PTV_TRI_CACHE_DIR to also persist across
+# processes (CLI runs); entries there are pickles named by the same hash.
+_TRI_CACHE: dict = {}
+
+
+def _points_digest(pts: np.ndarray) -> str:
+    h = hashlib.blake2b(digest_size=16)
+    h.update(str(pts.shape).encode())
+    h.update(np.ascontiguousarray(pts).data)
+    return h.hexdigest()
+
+
+def get_cached_triangulation(points, cache_dir: str | None = None):
+    """Delaunay triangulation of ``points`` with content-hash caching.
+
+    Memory hit → free; disk hit (``cache_dir`` or $PTV_TRI_CACHE_DIR) →
+    unpickle (~seconds); miss → Qhull build (the 42.7 s stage), then cache.
+    """
+    from scipy.spatial import Delaunay, QhullError
+
+    pts = np.asarray(points, np.float64)
+    key = _points_digest(pts)
+    if key in _TRI_CACHE:
+        return _TRI_CACHE[key]
+    cache_dir = cache_dir or os.environ.get("PTV_TRI_CACHE_DIR")
+    path = os.path.join(cache_dir, f"tri_{key}.pkl") if cache_dir else None
+    tri = None
+    if path and os.path.exists(path):
+        import pickle
+        try:
+            with open(path, "rb") as f:
+                tri = pickle.load(f)
+        except Exception:
+            tri = None  # corrupt/stale cache entry: rebuild
+    if tri is None:
+        try:
+            tri = Delaunay(pts)
+        except QhullError as e:
+            raise ValueError(f"Delaunay triangulation failed: {e}")
+        tri.transform  # materialize lazy attrs while we own the build cost
+        if path:
+            import pickle
+            os.makedirs(cache_dir, exist_ok=True)
+            tmp = f"{path}.tmp.{os.getpid()}"
+            with open(tmp, "wb") as f:
+                pickle.dump(tri, f, protocol=4)
+            os.replace(tmp, path)
+    _TRI_CACHE.clear()  # one slot
+    _TRI_CACHE[key] = tri
+    return tri
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -49,15 +108,10 @@ def linear_interpolate(points, values, queries, fill_value: float = 0.0,
     ``query_chunk`` bounds the device gather intermediates — the one-shot
     ``transform[idx]`` gather is (Q, 3, 3) f32, 26 GB at 16.7M queries.
     """
-    from scipy.spatial import Delaunay, QhullError
-
     pts = np.asarray(points, np.float64)
     qrs = np.asarray(queries, np.float64)
     if tri is None:
-        try:
-            tri = Delaunay(pts)
-        except QhullError as e:
-            raise ValueError(f"Delaunay triangulation failed: {e}")
+        tri = get_cached_triangulation(pts)
 
     simplex_idx = tri.find_simplex(qrs).astype(np.int32)   # host walk (C)
     tr = jnp.asarray(tri.transform, jnp.float32)
@@ -106,15 +160,10 @@ def linear_grid_interpolate(points, values, grid, fill_value: float = 0.0,
     outside the convex hull get ``fill_value`` (the reference's
     ``fill_value=0.0`` contract).
     """
-    from scipy.spatial import Delaunay, QhullError
-
     pts = np.asarray(points, np.float64)
     vals = np.asarray(values, np.float64)
     if tri is None:
-        try:
-            tri = Delaunay(pts)
-        except QhullError as e:
-            raise ValueError(f"Delaunay triangulation failed: {e}")
+        tri = get_cached_triangulation(pts)
 
     if evaluator in ("auto", "walk"):
         from scipy.interpolate import LinearNDInterpolator

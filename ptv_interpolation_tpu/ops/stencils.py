@@ -108,6 +108,39 @@ def laplacian_diag(mask, dx, dy, dz):
     return diag
 
 
+def divergence_dtd_diag(mask, dx, dy, dz):
+    """Exact per-component diagonal of ``D̃ᵀD̃`` where ``D̃`` is the masked
+    'operator'-variant FV divergence (rows and columns both restricted to
+    fluid cells) — the Jacobi preconditioner for the variational cleaner's
+    ``(I + λ D̃ᵀD̃)`` system (reference solves it unpreconditioned,
+    `physics.py:485`).
+
+    Derivation: per axis the divergence row at cell ``i`` carries
+    coefficients ``±1/(2h)`` on the in-domain fluid neighbors ``i±1``,
+    ``(a₊ − a₋)/(2h) ± 1/h`` (edge Neumann) on ``i`` itself; the column sum
+    of squares for unknown ``j`` therefore has the closed form below. The
+    interior value is ``1/(2h²)`` but boundary-adjacent cells differ by up
+    to 4× either way — that spread (times λ ≈ 200) is what Jacobi removes.
+    """
+    mask = jnp.asarray(mask, bool)
+    maskf = mask.astype(jnp.float32)
+
+    def axis_diag(axis, h):
+        m_next = shift(maskf, +1, axis, 0.0)   # fluid indicator at j+1
+        m_prev = shift(maskf, -1, axis, 0.0)
+        idx = _axis_index(mask.shape, axis)
+        n = mask.shape[axis]
+        inv2h = 1.0 / (2.0 * h)
+        edge = (jnp.where(idx == n - 1, 1.0, 0.0)
+                - jnp.where(idx == 0, 1.0, 0.0)) / h
+        c_self = (m_next - m_prev) * inv2h + edge      # c_{j,j}
+        # rows j∓1 (if fluid) each touch u_j with ±1/(2h)
+        off = (m_next + m_prev) * (inv2h * inv2h)
+        return maskf * (c_self * c_self + off)
+
+    return (axis_diag(2, dx), axis_diag(1, dy), axis_diag(0, dz))
+
+
 def consistent_correction(u, v, w, phi, mask, dx, dy, dz):
     """Velocity correction from a potential φ (`physics.py:110-147`):
     cell-centered gradient = mean of the two staggered face gradients,

@@ -136,14 +136,32 @@ def clean_divergence_projection(u, v, w, mask, dx, dy, dz, iterations: int = 3,
 # Variational cleaning
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("maxiter",))
+@functools.partial(jax.jit, static_argnames=("maxiter", "solver"))
 def clean_divergence_variational(u, v, w, mask, dx, dy, dz,
                                  lambda_reg: float = 1e3, tol: float = 1e-8,
-                                 maxiter: int = 2000) -> CleanResult:
+                                 maxiter: int = 2000,
+                                 solver: str = "woodbury") -> CleanResult:
     """Variational cleaning (`physics.py:440-514`): minimize
-    ``‖U − U0‖² + λ‖div U‖²`` ⇔ solve ``(I + λ DᵀD) U = U0`` — here as a
-    matrix-free SPD system where ``Dᵀ`` is ``jax.linear_transpose`` of the
-    FV divergence restricted to fluid cells (no 3n×3n ``bmat``)."""
+    ``‖U − U0‖² + λ‖div U‖²`` ⇔ solve ``(I + λ DᵀD) U = U0`` — matrix-free,
+    with ``Dᵀ`` obtained by ``jax.linear_transpose`` of the FV divergence
+    restricted to fluid cells (no 3n×3n ``bmat``).
+
+    ``solver='woodbury'`` (default) reduces the 3n-unknown system by the
+    Woodbury identity to the **scalar** SPD screened system
+
+        ((1/λ) I + D̃D̃ᵀ) q = D̃ U0,     U = U0 − D̃ᵀ q
+
+    whose interior operator is exactly the compact 7-point Laplacian at
+    spacing 2h on each of the 8 parity sublattices (central differences
+    decouple parities), so it is preconditioned by a parity-decomposed
+    geometric-MG V-cycle: ~50 CG iterations instead of the ~180 the
+    unpreconditioned 3n form needs at production λ=200/tol=1e-8 (the
+    reference runs plain CG on the assembled bmat, `physics.py:485`).
+    Plain MG on ``D̃D̃ᵀ`` itself would fail — near-checkerboard modes in
+    range(D̃) have arbitrarily small eigenvalues but are invisible to the
+    coarse grid; decimating by parity maps them onto ordinary smooth/rough
+    modes of the compact Laplacian. ``solver='direct'`` keeps the literal
+    3n CG formulation (used by tests as the oracle)."""
     mask = jnp.asarray(mask, bool)
     maskf = mask.astype(jnp.float32)
     u0 = jnp.asarray(u, jnp.float32) * maskf
@@ -161,20 +179,61 @@ def clean_divergence_variational(u, v, w, mask, dx, dy, dz,
     example = (u0, v0, w0)
     div_T = jax.linear_transpose(div_op, example)
 
-    def A(uvw):
-        d = div_op(uvw)
-        (dtu,) = div_T(d)
-        return tuple(x * maskf + lambda_reg * y * maskf
-                     for x, y in zip(uvw, dtu))
-
     m_div_init = _mean_abs_div(u0, v0, w0, mask, dx, dy, dz)
-    res = pcg(A, (u0, v0, w0), tol=tol, maxiter=maxiter)
+
+    if solver == "direct":
+        def A(uvw):
+            d = div_op(uvw)
+            (dtu,) = div_T(d)
+            return tuple(x * maskf + lambda_reg * y * maskf
+                         for x, y in zip(uvw, dtu))
+
+        res = pcg(A, (u0, v0, w0), tol=tol, maxiter=maxiter)
+        sol = res.x
+    else:
+        from ptv_interpolation_tpu.ops.multigrid import (
+            make_mg_preconditioner_batched,
+        )
+
+        def S(q):
+            (dt,) = div_T(q)
+            return maskf * q / lambda_reg + div_op(dt)
+
+        # pad to even so the 8 parity sublattices share one static shape
+        # and run as a single batched V-cycle program
+        nz, ny, nx = mask.shape
+        pz, py, px = nz % 2, ny % 2, nx % 2
+        ez, ey, ex = nz + pz, ny + py, nx + px
+
+        def to_parity(a):
+            ap = jnp.pad(a, ((0, pz), (0, py), (0, px)))
+            ap = ap.reshape(ez // 2, 2, ey // 2, 2, ex // 2, 2)
+            return ap.transpose(1, 3, 5, 0, 2, 4).reshape(
+                8, ez // 2, ey // 2, ex // 2)
+
+        def from_parity(b):
+            a = b.reshape(2, 2, 2, ez // 2, ey // 2, ex // 2)
+            a = a.transpose(3, 0, 4, 1, 5, 2).reshape(ez, ey, ex)
+            return a[:nz, :ny, :nx]
+
+        mg = make_mg_preconditioner_batched(
+            to_parity(mask), 2 * dx, 2 * dy, 2 * dz,
+            screening=1.0 / lambda_reg)
+
+        def m_inv(r):
+            return from_parity(mg(to_parity(r))) * maskf
+
+        b_s = div_op(example)
+        res = pcg(S, b_s, M_inv=m_inv, tol=tol, maxiter=maxiter)
+        (dt,) = div_T(res.x)
+        sol = tuple(x - d * maskf for x, d in zip(example, dt))
+
     # reference behavior: non-convergence only warns and uses the partial
     # solution; a *broken* solve (NaNs) falls back to the input unchanged
     # (`physics.py:486-491`)
-    bad = jnp.any(jnp.stack([jnp.any(jnp.isnan(x)) for x in res.x]))
+    bad = jnp.any(jnp.stack([jnp.any(jnp.isnan(x)) for x in sol]))
     u_n, v_n, w_n = jax.tree_util.tree_map(
-        lambda new, old: jnp.where(bad, old, new), res.x, (u0, v0, w0))
+        lambda new, old: jnp.where(bad, old, new), sol, (u0, v0, w0))
     m_div_final = _mean_abs_div(u_n, v_n, w_n, mask, dx, dy, dz)
     return CleanResult(u_n, v_n, w_n, m_div_init, m_div_final,
                        res.iterations, res.converged & (~bad))

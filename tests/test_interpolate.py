@@ -207,3 +207,36 @@ def test_interpolators_recover_analytic_cylinder_flow():
         u_err = np.abs(np.asarray(U).ravel()[sel] - u_true[sel])
         scale = np.abs(u_true[sel]).mean()
         assert u_err.mean() / scale < 0.05, (method, u_err.mean() / scale)
+
+
+def test_triangulation_cache(tmp_path, monkeypatch):
+    """`linear` amortizes Qhull: same point cloud hits the one-slot memory
+    cache (same Delaunay object), a changed cloud rebuilds, and
+    PTV_TRI_CACHE_DIR persists entries across "processes" (simulated by
+    clearing the memory slot)."""
+    from ptv_interpolation_tpu.interpolate import delaunay as dl
+
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(0, 10, size=(200, 3))
+    t1 = dl.get_cached_triangulation(pts)
+    t2 = dl.get_cached_triangulation(pts.copy())
+    assert t1 is t2                      # content-hash hit, not identity
+    other = dl.get_cached_triangulation(rng.uniform(0, 10, size=(180, 3)))
+    assert other is not t1
+
+    monkeypatch.setenv("PTV_TRI_CACHE_DIR", str(tmp_path))
+    t3 = dl.get_cached_triangulation(pts)   # rebuilds (slot was evicted), writes disk
+    assert len(list(tmp_path.glob("tri_*.pkl"))) == 1
+    dl._TRI_CACHE.clear()                   # simulate a fresh process
+    t4 = dl.get_cached_triangulation(pts)   # disk hit
+    np.testing.assert_array_equal(t4.simplices, t3.simplices)
+
+    # and the public linear path uses it: two calls, one triangulation
+    dl._TRI_CACHE.clear()
+    q = rng.uniform(1, 9, size=(50, 3))
+    vals = rng.normal(size=(200, 2))
+    a = np.asarray(dl.linear_interpolate(pts, vals, q))
+    built = dl._TRI_CACHE[dl._points_digest(np.asarray(pts, np.float64))]
+    b = np.asarray(dl.linear_interpolate(pts, vals, q))
+    assert dl._TRI_CACHE[dl._points_digest(np.asarray(pts, np.float64))] is built
+    np.testing.assert_allclose(a, b)

@@ -331,3 +331,61 @@ def test_multigrid_preconditioner_accelerates_and_agrees():
     x_j = np.asarray(project(res_jac.x))
     scale = np.abs(x_j).max()
     np.testing.assert_allclose(x_mg, x_j, atol=5e-4 * scale)
+
+
+def test_divergence_dtd_diag_exact():
+    """`divergence_dtd_diag` (the closed-form per-component diagonal of the
+    masked 'operator'-variant D̃ᵀD̃) must equal the dense-jacobian column
+    sums of squares on a random mask with domain-edge cells."""
+    import jax
+    import jax.numpy as jnp
+    from ptv_interpolation_tpu.ops.stencils import divergence_dtd_diag
+
+    rng = np.random.default_rng(0)
+    shape = (4, 5, 6)
+    mask = rng.random(shape) > 0.35
+    mask[0, 0, 0] = True
+    mask[-1, -1, -1] = True
+    maskb = jnp.asarray(mask)
+    maskf = maskb.astype(jnp.float32)
+
+    def dtilde(u, v, w):
+        return maskf * consistent_divergence(
+            u * maskf, v * maskf, w * maskf, maskb, 1.0, 1.0, 1.0,
+            variant="operator")
+
+    n = int(np.prod(shape))
+    got = divergence_dtd_diag(maskb, 1.0, 1.0, 1.0)
+    for comp in range(3):
+        def f(x, comp=comp):
+            fields = [jnp.zeros(shape)] * 3
+            fields[comp] = x.reshape(shape)
+            return dtilde(*fields).ravel()
+        J = jax.jacfwd(f)(jnp.zeros(n))
+        want = np.asarray((J ** 2).sum(axis=0)).reshape(shape)
+        np.testing.assert_allclose(np.asarray(got[comp]), want, atol=1e-6)
+
+
+def test_variational_woodbury_matches_direct():
+    """The Woodbury + parity-MG variational solve (default) must reproduce
+    the literal 3n-CG formulation's cleaned field and converge in far fewer
+    iterations (VERDICT r3 item 4: ≤ half at production λ/tol)."""
+    mask = _sphere_mask(22)
+    fluid = np.asarray(mask)  # _sphere_mask returns the fluid indicator
+    rng = np.random.default_rng(5)
+    shape = fluid.shape
+    mf = fluid.astype(np.float32)
+    u = (0.1 * rng.normal(size=shape)).astype(np.float32) * mf
+    v = (0.1 * rng.normal(size=shape)).astype(np.float32) * mf
+    w = (1.0 + 0.1 * rng.normal(size=shape)).astype(np.float32) * mf
+
+    kw = dict(lambda_reg=200.0, tol=1e-8, maxiter=2000)
+    res_w = clean_divergence_variational(u, v, w, fluid, 1.0, 1.0, 1.0, **kw)
+    res_d = clean_divergence_variational(u, v, w, fluid, 1.0, 1.0, 1.0,
+                                         solver="direct", **kw)
+    assert bool(res_w.converged) and bool(res_d.converged)
+    assert int(res_w.cg_iterations) <= int(res_d.cg_iterations) / 2
+    for a, b in ((res_w.u, res_d.u), (res_w.v, res_d.v), (res_w.w, res_d.w)):
+        a, b = np.asarray(a), np.asarray(b)
+        rel = np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-30)
+        assert rel < 1e-4, rel
