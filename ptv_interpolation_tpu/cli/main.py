@@ -75,6 +75,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--n-jobs", type=int, default=1,
                    help="Accepted for reference-script compatibility; "
                         "parallelism is the device mesh here")
+    p.add_argument("--tri-cache-dir", default=None,
+                   help="Directory to persist Delaunay triangulations "
+                        "(method=linear) across runs; repeated runs on the "
+                        "same point cloud skip the Qhull build (~43 s at "
+                        "1M points). Also honors $PTV_TRI_CACHE_DIR.")
     return p
 
 
@@ -104,6 +109,7 @@ def main(argv=None):
         data_offset=tuple(args.data_offset) if args.data_offset else None,
         swap_xy=args.swap_xy,
         mask_transpose=tuple(args.mask_transpose) if args.mask_transpose else None,
+        tri_cache_dir=args.tri_cache_dir,
     )
     result = run_pipeline(config)
 

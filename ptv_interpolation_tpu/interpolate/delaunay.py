@@ -100,18 +100,20 @@ def _barycentric_eval(transform, simplices, values, queries, simplex_idx,
 
 
 def linear_interpolate(points, values, queries, fill_value: float = 0.0,
-                       tri=None, query_chunk: int = 4_000_000):
+                       tri=None, query_chunk: int = 4_000_000,
+                       cache_dir: str | None = None):
     """Piecewise-linear interpolation of ``values`` (N, C) at ``queries``.
 
     Pass a prebuilt ``scipy.spatial.Delaunay`` as ``tri`` to amortize the
-    triangulation across calls (e.g. per-component or sharded evaluation).
+    triangulation across calls (e.g. per-component or sharded evaluation),
+    or ``cache_dir`` to persist triangulations across processes.
     ``query_chunk`` bounds the device gather intermediates — the one-shot
     ``transform[idx]`` gather is (Q, 3, 3) f32, 26 GB at 16.7M queries.
     """
     pts = np.asarray(points, np.float64)
     qrs = np.asarray(queries, np.float64)
     if tri is None:
-        tri = get_cached_triangulation(pts)
+        tri = get_cached_triangulation(pts, cache_dir=cache_dir)
 
     simplex_idx = tri.find_simplex(qrs).astype(np.int32)   # host walk (C)
     tr = jnp.asarray(tri.transform, jnp.float32)
@@ -131,7 +133,8 @@ def linear_interpolate(points, values, queries, fill_value: float = 0.0,
 
 def linear_grid_interpolate(points, values, grid, fill_value: float = 0.0,
                             tri=None, pair_chunk: int = 4_000_000,
-                            evaluator: str = "auto"):
+                            evaluator: str = "auto",
+                            cache_dir: str | None = None):
     """Piecewise-linear (Delaunay) interpolation onto a regular grid —
     the reference's production method (`run_porous_glass.py:18` →
     `scipy.interpolate.griddata(method='linear')`,
@@ -163,7 +166,7 @@ def linear_grid_interpolate(points, values, grid, fill_value: float = 0.0,
     pts = np.asarray(points, np.float64)
     vals = np.asarray(values, np.float64)
     if tri is None:
-        tri = get_cached_triangulation(pts)
+        tri = get_cached_triangulation(pts, cache_dir=cache_dir)
 
     if evaluator in ("auto", "walk"):
         from scipy.interpolate import LinearNDInterpolator

@@ -47,7 +47,8 @@ def interpolate_values(points, values, queries, method: str = "linear",
                        cells: CellList | None = None,
                        neighbor_method: str = "auto",
                        rings: int = 1, verbose: bool = False,
-                       cubic_fallback: bool = False):
+                       cubic_fallback: bool = False,
+                       tri_cache_dir: Optional[str] = None):
     """Interpolate scattered ``values`` (N, C) onto ``queries`` (Q, 3)."""
     n_pts = int(np.asarray(points).shape[0])
     n_q = int(np.asarray(queries).shape[0])
@@ -119,7 +120,8 @@ def interpolate_values(points, values, queries, method: str = "linear",
         return nearest_interpolate(points, values, queries,
                                    cells=get_cells(1), rings=rings)
     if method == "linear":
-        return linear_interpolate(points, values, queries, fill_value=0.0)
+        return linear_interpolate(points, values, queries, fill_value=0.0,
+                                  cache_dir=tri_cache_dir)
     if method == "cubic":
         # scipy's griddata 'cubic' is 2D-only (the reference dispatcher at
         # interpolator.py:196-197 would raise from Qhull too on 3D data).
@@ -205,7 +207,8 @@ def interpolate_field(points, values, grid: Grid, method: str = "linear",
         # see interpolate/delaunay.py and BASELINE.md "linear")
         from ptv_interpolation_tpu.interpolate.delaunay import (
             linear_grid_interpolate)
-        out = linear_grid_interpolate(points, values, grid, fill_value=0.0)
+        out = linear_grid_interpolate(points, values, grid, fill_value=0.0,
+                                      cache_dir=kwargs.get("tri_cache_dir"))
         return out[..., 0], out[..., 1], out[..., 2]
 
     queries = grid.flat_coords()

@@ -182,13 +182,26 @@ def clean_divergence_variational(u, v, w, mask, dx, dy, dz,
     m_div_init = _mean_abs_div(u0, v0, w0, mask, dx, dy, dz)
 
     if solver == "direct":
+        from ptv_interpolation_tpu.ops.stencils import divergence_dtd_diag
+
         def A(uvw):
             d = div_op(uvw)
             (dtu,) = div_T(d)
             return tuple(x * maskf + lambda_reg * y * maskf
                          for x, y in zip(uvw, dtu))
 
-        res = pcg(A, (u0, v0, w0), tol=tol, maxiter=maxiter)
+        # Jacobi on the exact per-component diagonal of (I + λ D̃ᵀD̃):
+        # boundary-adjacent diagonal entries differ from the interior
+        # 1 + λ/(2h²) by up to 4× either way, and λ ≈ 200 in production —
+        # removing that spread cuts iterations vs the reference's
+        # unpreconditioned CG on the same system (`physics.py:485`)
+        dtd = divergence_dtd_diag(mask, dx, dy, dz)
+        inv_diag = tuple(1.0 / (1.0 + lambda_reg * d) for d in dtd)
+
+        def m_inv(uvw):
+            return tuple(r * di * maskf for r, di in zip(uvw, inv_diag))
+
+        res = pcg(A, (u0, v0, w0), M_inv=m_inv, tol=tol, maxiter=maxiter)
         sol = res.x
     else:
         from ptv_interpolation_tpu.ops.multigrid import (

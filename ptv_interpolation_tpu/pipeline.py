@@ -74,6 +74,10 @@ class PipelineConfig:
     swap_xy: bool = False
     mask_transpose: Optional[Tuple[int, int, int]] = None
     verbose: bool = True
+    # persist Delaunay triangulations (method='linear') across processes;
+    # Qhull dominates that method's wall (42.7 s at 1M pts) and repeated
+    # CLI runs on the same cloud otherwise rebuild it every time
+    tri_cache_dir: Optional[str] = None
 
 
 def prepare_domain(config: PipelineConfig, cloud: PointCloud,
@@ -235,6 +239,7 @@ def _run_pipeline_stages(config: PipelineConfig, cloud, mask_raw,
             sibson_neighbors=config.sibson_neighbors,
             cubic_fallback=config.cubic_fallback, verbose=v,
             tau_mode=config.tau_mode,
+            tri_cache_dir=config.tri_cache_dir,
             # solid voxels are zeroed in step 7 — exact repair of uncovered
             # solid-interior nodes would be discarded work
             skip_mask=(~mask if mask_raw is not None else None))

@@ -27,6 +27,23 @@ assert len(jax.devices()) >= 8, (
     f"expected 8 virtual CPU devices, got {jax.devices()}")
 
 
+def pytest_configure(config):
+    """Build the native loaders when absent so their parity tests and
+    load-time known-answer self-tests actually run in CI (the binaries are
+    not committed; the build is a few seconds of g++)."""
+    import pathlib
+    import subprocess
+
+    native = pathlib.Path(__file__).resolve().parent.parent / "native"
+    libs = [native / "libptvcsv.so", native / "libptvtiff.so"]
+    if native.is_dir() and not all(p.exists() for p in libs):
+        try:
+            subprocess.run(["sh", str(native / "build.sh")], check=True,
+                           capture_output=True, timeout=120)
+        except Exception as e:  # tests that need the libs will skip/fail
+            print(f"warning: native build failed: {e}")
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(1234)

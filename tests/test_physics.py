@@ -389,3 +389,38 @@ def test_variational_woodbury_matches_direct():
         a, b = np.asarray(a), np.asarray(b)
         rel = np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-30)
         assert rel < 1e-4, rel
+
+
+def test_variational_woodbury_odd_anisotropic():
+    """Woodbury vs direct at ODD extents and anisotropic spacing — the
+    production regime (`/root/reference/run_porous_glass.py:15-17` →
+    ~161×168×243 with downscale-2 anisotropy). Odd extents exercise the
+    parity padding in `physics.py::to_parity` (never hit by even-cube
+    tests); dx≠dy≠dz exercises the 2h MG stencil per axis."""
+    shape = (21, 24, 27)
+    az = np.arange(shape[0]) - shape[0] / 2 + 0.5
+    ay = np.arange(shape[1]) - shape[1] / 2 + 0.5
+    ax = np.arange(shape[2]) - shape[2] / 2 + 0.5
+    Z, Y, X = np.meshgrid(az, ay, ax, indexing="ij")
+    fluid = ~(((X / 8.0) ** 2 + (Y / 7.0) ** 2 + (Z / 6.0) ** 2) < 1.0)
+
+    rng = np.random.default_rng(11)
+    mf = fluid.astype(np.float32)
+    u = (0.1 * rng.normal(size=shape)).astype(np.float32) * mf
+    v = (0.1 * rng.normal(size=shape)).astype(np.float32) * mf
+    w = (1.0 + 0.1 * rng.normal(size=shape)).astype(np.float32) * mf
+
+    dx, dy, dz = 1.0, 1.3, 0.7
+    kw = dict(lambda_reg=200.0, tol=1e-8, maxiter=2000)
+    res_w = clean_divergence_variational(u, v, w, fluid, dx, dy, dz, **kw)
+    res_d = clean_divergence_variational(u, v, w, fluid, dx, dy, dz,
+                                         solver="direct", **kw)
+    assert bool(res_w.converged) and bool(res_d.converged)
+    assert int(res_w.cg_iterations) < int(res_d.cg_iterations)
+    for a, b in ((res_w.u, res_d.u), (res_w.v, res_d.v), (res_w.w, res_d.w)):
+        a, b = np.asarray(a), np.asarray(b)
+        rel = np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-30)
+        assert rel < 1e-4, rel
+    # the cleaner must actually clean
+    assert float(res_w.mean_abs_div_final) < 0.5 * float(
+        res_w.mean_abs_div_initial)
