@@ -145,51 +145,22 @@ def grid_from_mask_shape(mask_shape: Tuple[int, int, int],
 # Mask resampling
 # --------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("out_shape",))
-def _sample_mask_impl(mask_raw, bounds_arr, grid_bounds_arr, out_shape):
-    nz, ny, nx = mask_raw.shape
-    onz, ony, onx = out_shape
-
-    def axis_coords(lo, hi, n, dtype=jnp.float32):
-        if n <= 1:
-            return jnp.full((1,), lo, dtype)
-        return lo + (hi - 1.0 - lo) * jnp.arange(n, dtype=dtype) / (n - 1)
-
-    x = axis_coords(grid_bounds_arr[0, 0], grid_bounds_arr[0, 1], onx)
-    y = axis_coords(grid_bounds_arr[1, 0], grid_bounds_arr[1, 1], ony)
-    z = axis_coords(grid_bounds_arr[2, 0], grid_bounds_arr[2, 1], onz)
-    Z, Y, X = jnp.meshgrid(z, y, x, indexing="ij")
-
-    def frac_index(coords, lo, hi, n):
-        # Raw voxel i sits at lo + i * step with step = (hi-1-lo)/(n-1).
-        if n <= 1:
-            return jnp.zeros_like(coords)
-        step = (hi - 1.0 - lo) / (n - 1)
-        return (coords - lo) / step
-
-    fi = frac_index(Z, bounds_arr[2, 0], bounds_arr[2, 1], nz)
-    fj = frac_index(Y, bounds_arr[1, 0], bounds_arr[1, 1], ny)
-    fk = frac_index(X, bounds_arr[0, 0], bounds_arr[0, 1], nx)
-
-    # RegularGridInterpolator 'nearest' rounds to the nearest sample point.
-    i = jnp.clip(jnp.round(fi).astype(jnp.int32), 0, nz - 1)
-    j = jnp.clip(jnp.round(fj).astype(jnp.int32), 0, ny - 1)
-    k = jnp.clip(jnp.round(fk).astype(jnp.int32), 0, nx - 1)
-    in_bounds = ((fi >= 0.0) & (fi <= nz - 1.0)
-                 & (fj >= 0.0) & (fj <= ny - 1.0)
-                 & (fk >= 0.0) & (fk <= nx - 1.0))
-    sampled = mask_raw[i, j, k]
-    return jnp.where(in_bounds, sampled, False)
-
-
 def sample_mask_on_grid(mask_raw, grid: Grid, bounds_raw: Bounds | None = None):
     """Nearest-neighbor resample of a raw boolean mask onto ``grid``.
 
-    TPU-native equivalent of the reference's ``RegularGridInterpolator``
-    nearest resampling (``interpolator.py:205-238``): the target grid
-    coordinates are mapped to fractional raw-voxel indices and rounded;
-    out-of-bounds samples become solid (fill 0). Jit-compiled — the whole
-    resample is one fused gather on device.
+    Equivalent of the reference's ``RegularGridInterpolator`` nearest
+    resampling (``interpolator.py:205-238``): the target grid coordinates
+    are mapped to fractional raw-voxel indices and rounded; out-of-bounds
+    samples become solid (fill 0).
+
+    Nearest lookup on an axis-aligned product grid is *separable* — each
+    axis rounds independently — so the resample is three per-axis index
+    vectors plus one outer-product fancy-index on the host. (An earlier
+    device version expressed this as a jitted 3D advanced-index gather
+    with full meshgrid indices; the resulting general-gather HLO took
+    minutes through the remote TPU compile service for an op whose data
+    starts and ends on the host — a byte shuffle the CPU does in
+    milliseconds at the 657³ production scan size.)
 
     Parameters
     ----------
@@ -197,12 +168,40 @@ def sample_mask_on_grid(mask_raw, grid: Grid, bounds_raw: Bounds | None = None):
     grid : target :class:`Grid`.
     bounds_raw : physical bounds of ``mask_raw`` (defaults to ``grid.bounds``).
     """
-    mask_raw = jnp.asarray(mask_raw, bool)
+    mask_raw = np.asarray(mask_raw).astype(bool)
     if bounds_raw is None:
         bounds_raw = grid.bounds
-    bounds_arr = jnp.asarray(bounds_raw, jnp.float32)       # (3, 2) x/y/z
-    grid_bounds_arr = jnp.asarray(grid.bounds, jnp.float32)
-    return _sample_mask_impl(mask_raw, bounds_arr, grid_bounds_arr, grid.shape)
+    bounds_arr = np.asarray(bounds_raw, np.float32)         # (3, 2) x/y/z
+    grid_bounds_arr = np.asarray(grid.bounds, np.float32)
+    nz, ny, nx = mask_raw.shape
+    onz, ony, onx = grid.shape
+
+    def axis_coords(lo, hi, n):
+        if n <= 1:
+            return np.full((1,), lo, np.float32)
+        return lo + (hi - 1.0 - lo) * np.arange(n, dtype=np.float32) / (n - 1)
+
+    def frac_index(coords, lo, hi, n):
+        # Raw voxel i sits at lo + i * step with step = (hi-1-lo)/(n-1).
+        if n <= 1:
+            return np.zeros_like(coords)
+        step = (hi - 1.0 - lo) / (n - 1)
+        return (coords - lo) / step
+
+    idx, ok = [], []
+    for d, (n_raw, n_out) in enumerate(((nz, onz), (ny, ony), (nx, onx))):
+        b = 2 - d                                    # bounds rows are x,y,z
+        c = axis_coords(grid_bounds_arr[b, 0], grid_bounds_arr[b, 1], n_out)
+        f = frac_index(c, bounds_arr[b, 0], bounds_arr[b, 1], n_raw)
+        # RegularGridInterpolator 'nearest' rounds to the nearest sample
+        # point; np.round matches its half-to-even tie behavior
+        idx.append(np.clip(np.round(f).astype(np.int64), 0, n_raw - 1))
+        ok.append((f >= 0.0) & (f <= n_raw - 1.0))
+
+    sampled = mask_raw[np.ix_(*idx)]
+    in_bounds = (ok[0][:, None, None] & ok[1][None, :, None]
+                 & ok[2][None, None, :])
+    return sampled & in_bounds
 
 
 # --------------------------------------------------------------------------
