@@ -97,7 +97,12 @@ def knn_mad_mask(points, values, k: int = 25, threshold: float = 3.0,
 
 def remove_outliers_threshold(cloud: PointCloud, max_speed: float = 10.0,
                               verbose: bool = True) -> PointCloud:
-    keep = np.asarray(speed_threshold_mask(cloud.values, max_speed))
+    # host numpy on purpose: the values live on host before/after, and a
+    # 500k-point norm is microseconds of CPU vs ~8 MB of round-trip
+    # transfer for zero device compute (`speed_threshold_mask` stays the
+    # jitted form for on-device pipelines)
+    v = np.asarray(cloud.values, np.float32)
+    keep = np.sqrt((v * v).sum(axis=-1)) <= max_speed
     n_removed = int((~keep).sum())
     if n_removed > 0:
         if verbose:
@@ -125,6 +130,27 @@ def _mad_consume(k: int, threshold: float):
         kth = jnp.sqrt(jnp.maximum(sq[:, -1], 0.0))
         return jnp.stack([keep, kth], axis=-1)
     return consume
+
+
+def _host_exact_mad_decide(pts, speed, idx, k, threshold):
+    """Exact keep decisions for a handful of panel-uncovered points:
+    the reference formulation in f64 (`/root/reference/filtering.py:5-58`)
+    brute-forced over the full cloud — one O(N) distance pass per point,
+    so only sensible for len(idx) ≲ 16."""
+    p = pts.astype(np.float64)
+    s = np.asarray(speed, np.float64)
+    # one vectorized (len(idx), N) distance pass — ~60 MB f64 at the
+    # 16-point cap, vs one full traversal per point when looped
+    d2 = ((p[idx, None, :] - p[None, :, :]) ** 2).sum(axis=2)
+    kk = min(k + 1, len(p) - 1)
+    nn = np.argpartition(d2, kk, axis=1)[:, :k + 2]
+    ord_ = np.argsort(np.take_along_axis(d2, nn, axis=1), axis=1,
+                      kind="stable")
+    nn = np.take_along_axis(nn, ord_, axis=1)[:, :k + 1]
+    neigh = s[nn[:, 1:]]                        # drop one self-copy
+    med = np.median(neigh, axis=1)
+    mad = np.median(np.abs(neigh - med[:, None]), axis=1)
+    return np.abs(s[idx] - med) / (mad + 1e-6) <= threshold
 
 
 def knn_mad_mask_scatter(points, values, k: int = 25, threshold: float = 3.0,
@@ -157,19 +183,26 @@ def knn_mad_mask_scatter(points, values, k: int = 25, threshold: float = 3.0,
         from ptv_interpolation_tpu.ops.fused_mad import fused_mad_filter
         res = fused_mad_filter(pts, speed[:, 0], int(k), float(threshold))
         if res is not None:
-            keep, kth, covered = res
+            keep, covered, radius, _ = res
             unc = ~covered
             n_unc = int(unc.sum())
-            if 0 < n_unc <= 0.05 * len(pts):
+            if 0 < n_unc <= 16:
+                # a handful of corner/density-hole points: exact f64
+                # re-decide on host — one O(N) pass per point beats a
+                # whole second kernel dispatch chain
+                keep[unc] = _host_exact_mad_decide(
+                    pts, speed[:, 0], np.flatnonzero(unc), int(k),
+                    float(threshold))
+                n_unc = 0
+            elif 0 < n_unc <= 0.05 * len(pts):
                 sub = scatter_knn_apply(
                     pts, speed, pts[unc], k + 1,
                     _mad_consume(int(k), float(threshold)), out_dim=2,
                     exact_topk=True)
                 keep[unc] = sub[:, 0] > 0.5
-                kth[unc] = sub[:, 1]
                 n_unc = 0
             if n_unc == 0:
-                return keep, float(np.median(kth))
+                return keep, radius
             # pathological coverage (>5% uncovered): selection path below
 
     out = scatter_knn_apply(pts, speed, pts, k + 1,
