@@ -2,10 +2,13 @@
 
 The framework's scaling axis is problem size (particles N × grid points M),
 parallelized SPMD-style: grid queries and z-slabs of fields are sharded
-over a 1D mesh; particle sets are replicated (1M tracks ≈ 24 MB — cheap
-against ICI all-gathers). This replaces the reference's only parallelism,
-the fork-based process pool chunking RBF evaluation
-(`/root/reference/interpolator.py:173-182`).
+over a 1D mesh, and the at-scale grid kernels shard the cell-sorted
+particle store by z-slab ownership + halo too (`parallel/slab_store.py`),
+so neither the grid nor the particle cloud is bounded by one chip's HBM.
+The generic query-sharded paths keep small particle sets replicated (1M
+tracks ≈ 24 MB — cheap against ICI all-gathers). This replaces the
+reference's only parallelism, the fork-based process pool chunking RBF
+evaluation (`/root/reference/interpolator.py:173-182`).
 """
 
 from __future__ import annotations
