@@ -86,13 +86,28 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-interactive", action="store_false", dest="interactive")
     p.add_argument("--no-tiffs", action="store_false", dest="save_tiffs",
                    default=True)
+    p.add_argument("--daemon", "-D", action="store_true",
+                   help="Run through the persistent serving daemon "
+                        "(ptv-daemon); also enabled by PTV_DAEMON=1. "
+                        "Implies --no-interactive.")
     return p
 
 
 def main(argv=None):
+    import sys
+
+    args = build_parser().parse_args(argv)
+    from ptv_interpolation_tpu import daemon
+    if daemon.wants_daemon(args.daemon) and not os.environ.get("PTV_IN_DAEMON"):
+        fwd = [a for a in (argv if argv is not None else sys.argv[1:])
+               if a not in ("--daemon", "-D")]
+        fwd.append("--no-interactive")  # the daemon cannot open a viewer here
+        rc = daemon.dispatch("analyze", fwd)
+        if rc is not None:
+            return rc
+        print("daemon unavailable; running inline", file=sys.stderr)
     from ptv_interpolation_tpu.utils import enable_compilation_cache
     enable_compilation_cache()
-    args = build_parser().parse_args(argv)
     basename = os.path.splitext(os.path.basename(args.input))[0]
     output_npz = args.output_npz
     if output_npz is None:

@@ -4,6 +4,8 @@
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 
 from ptv_interpolation_tpu.pipeline import PipelineConfig, run_pipeline
 
@@ -80,13 +82,29 @@ def build_parser() -> argparse.ArgumentParser:
                         "(method=linear) across runs; repeated runs on the "
                         "same point cloud skip the Qhull build (~43 s at "
                         "1M points). Also honors $PTV_TRI_CACHE_DIR.")
+    p.add_argument("--daemon", "-D", action="store_true",
+                   help="Run through the persistent serving daemon "
+                        "(ptv-daemon): the first request warms the process "
+                        "once, later invocations skip the fresh-process "
+                        "compile/load cost entirely. Also enabled by "
+                        "PTV_DAEMON=1. Implies --no-plot.")
     return p
 
 
 def main(argv=None):
+    args = build_parser().parse_args(argv)
+    from ptv_interpolation_tpu import daemon
+    if daemon.wants_daemon(args.daemon) and not os.environ.get("PTV_IN_DAEMON"):
+        fwd = [a for a in (argv if argv is not None else sys.argv[1:])
+               if a not in ("--daemon", "-D")]
+        if not args.no_plot:
+            fwd.append("--no-plot")  # the daemon cannot open a viewer here
+        rc = daemon.dispatch("interpolate", fwd)
+        if rc is not None:
+            return rc
+        print("daemon unavailable; running inline", file=sys.stderr)
     from ptv_interpolation_tpu.utils import enable_compilation_cache
     enable_compilation_cache()
-    args = build_parser().parse_args(argv)
     config = PipelineConfig(
         input=args.input, mask=args.mask, downscale=args.downscale,
         divergence_free=args.divergence_free, iterations=args.iterations,
