@@ -193,11 +193,17 @@ def _connect(path: str, timeout: float = 1.0) -> socket.socket | None:
 
 def _request(sock: socket.socket, req: dict,
              echo: bool = True) -> int:
-    sock.sendall((json.dumps(req) + "\n").encode())
+    try:
+        sock.sendall((json.dumps(req) + "\n").encode())
+    except OSError:
+        return 1  # server tore down between connect and send
     sock.settimeout(None)
     buf = b""
     while True:
-        chunk = sock.recv(1 << 16)
+        try:
+            chunk = sock.recv(1 << 16)
+        except OSError:
+            return 1  # reset during server shutdown = daemon gone
         if not chunk:
             return 1  # daemon died mid-job
         buf += chunk
@@ -280,6 +286,12 @@ def main(argv=None) -> int:
             return 0
         with s:
             _request(s, {"entry": "shutdown"}, echo=False)
+        # The server unlinks the socket on its way out; wait for that so a
+        # status/start issued right after `stop` can't hit the closing
+        # listener and read a half-dead daemon.
+        deadline = time.time() + 10.0
+        while time.time() < deadline and os.path.exists(path):
+            time.sleep(0.05)
         print("daemon stopped")
         return 0
     if cmd == "status":
